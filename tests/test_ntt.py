@@ -1,0 +1,89 @@
+"""NTT property tests against independent bignum oracles (SURVEY.md §7 phase 2:
+NTT∘iNTT = id; NTT-mul == schoolbook negacyclic mul)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sgfhe_tpu.ops import ntt
+from sgfhe_tpu.utils import primes as pr
+
+
+def negacyclic_mul_oracle(a, b, p):
+    """Schoolbook negacyclic product with Python ints (exact)."""
+    m = len(a)
+    out = [0] * m
+    for i in range(m):
+        ai = int(a[i])
+        if ai == 0:
+            continue
+        for j in range(m):
+            k = i + j
+            v = ai * int(b[j])
+            if k < m:
+                out[k] = (out[k] + v) % p
+            else:
+                out[k - m] = (out[k - m] - v) % p
+    return np.array([x % p for x in out], dtype=np.uint32)
+
+
+def make_plan(m=64, nlimbs=2):
+    mods = []
+    start = 1 << 25
+    while len(mods) < nlimbs:
+        q = pr.find_modulus(2 * m, start)
+        mods.append(q)
+        start = q + 1
+    return ntt.build_plan(tuple(mods), m), mods
+
+
+def test_roundtrip():
+    plan, mods = make_plan(m=128, nlimbs=3)
+    rng = np.random.default_rng(0)
+    x = np.stack(
+        [rng.integers(0, p, size=(4, 128), dtype=np.uint32) for p in mods], axis=-2
+    )  # (4, L, m)
+    back = np.asarray(ntt.ntt_inv(plan, ntt.ntt_fwd(plan, jnp.asarray(x))))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_polymul_vs_oracle():
+    plan, mods = make_plan(m=32, nlimbs=2)
+    rng = np.random.default_rng(1)
+    a = np.stack([rng.integers(0, p, size=32, dtype=np.uint32) for p in mods])
+    b = np.stack([rng.integers(0, p, size=32, dtype=np.uint32) for p in mods])
+    got = np.asarray(ntt.polymul(plan, jnp.asarray(a), jnp.asarray(b)))
+    for li, p in enumerate(mods):
+        expect = negacyclic_mul_oracle(a[li], b[li], p)
+        np.testing.assert_array_equal(got[li], expect)
+
+
+def test_monomial_eval_matches_coefficient_rotation():
+    plan, mods = make_plan(m=32, nlimbs=2)
+    rng = np.random.default_rng(2)
+    a = np.stack([rng.integers(0, p, size=32, dtype=np.uint32) for p in mods])
+    m = 32
+    from sgfhe_tpu.ops import modmath as mm
+
+    a_hat = ntt.ntt_fwd(plan, jnp.asarray(a))
+    for j in (0, 1, 5, 31, 32, 33, 63):
+        w, ws = ntt.monomial_eval(plan, jnp.asarray(j))
+        rot_hat = mm.shoup_mul(a_hat, w, ws, plan.p)
+        rot = np.asarray(ntt.ntt_inv(plan, rot_hat))
+        # oracle: multiply by x^j with negacyclic wrap
+        for li, p in enumerate(mods):
+            expect = np.zeros(m, dtype=np.uint32)
+            for i in range(m):
+                k = (i + j) % (2 * m)
+                sign = 1 if k < m else -1
+                expect[k % m] = (sign * int(a[li, i])) % p
+            np.testing.assert_array_equal(rot[li], expect, err_msg=f"j={j} limb={li}")
+
+
+def test_batched_shapes():
+    plan, mods = make_plan(m=64, nlimbs=2)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, min(mods), size=(3, 5, 2, 64), dtype=np.uint32)
+    y = np.asarray(ntt.ntt_fwd(plan, jnp.asarray(x)))
+    assert y.shape == x.shape
+    back = np.asarray(ntt.ntt_inv(plan, jnp.asarray(y)))
+    np.testing.assert_array_equal(back, x)
