@@ -1,0 +1,463 @@
+"""Scheme 1 (Gao eprint 2018/637): keys, ciphertext types, encrypt/decrypt.
+
+TPU-native rebuild of reference src/fhe.jl:102-507. Structure:
+
+ - `SchemeContext` — pytree of device constants (NTT plans for Q and q, RNS
+   context, initial test-vector polynomial) derived once from `Params`.
+ - Key objects hold device arrays + the static `Params`; the jitted kernels
+   take raw arrays so everything composes under jit/shard_map.
+ - Ciphertext containers mirror the reference's type set: PackedCiphertext,
+   Ciphertext, EncryptedBit (batched), PrivateEncryptedCiphertext,
+   PublicEncryptedCiphertext (src/fhe.jl:252-383).
+
+All mod-r arithmetic uses the fact that r = 16n is a power of two: plain
+uint32 + masking, with products against the {0,1} key done as exact int32
+negacyclic matmuls (rides the MXU) — no NTT needed at modulus r, unlike the
+reference which requires an NTT-friendly ring everywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as ntt_mod
+from ..ops import poly as pol
+from ..ops import rns as rns_mod
+from ..utils import prng
+from .params import Params
+
+
+# ---------------------------------------------------------------------------
+# Context
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SchemeContext:
+    plan_Q: ntt_mod.NttPlan       # length-m NTT over the RNS moduli
+    plan_q: ntt_mod.NttPlan       # length-n NTT over the single prime q
+    rns: rns_mod.RnsContext       # RNS constants (rescale target r)
+    tpoly_dq: jax.Array           # (L, m): t(x) * DQ~ residues (initial poly)
+    dq_tilde: jax.Array           # (L, 1): DQ~ mod p_i
+
+
+def make_context(params: Params) -> SchemeContext:
+    plan_Q = ntt_mod.build_plan(params.moduli, params.m)
+    plan_q = ntt_mod.build_plan((params.q,), params.n)
+    host = rns_mod.build_context(params.moduli)
+    rctx = host.device_context(new_max=params.r)
+    # initial poly t(x) = sum_{j=-(Dr-1)}^{Dr-1} x^j (reference
+    # src/fhe.jl:535-548), scaled by DQ~ = Q // 8
+    Q = params.Q
+    DQt = Q // 8
+    L = params.num_limbs
+    m = params.m
+    coeffs = np.zeros((L, m), dtype=np.uint32)
+    for li, p in enumerate(params.moduli):
+        pos = DQt % p
+        neg = (-DQt) % p
+        coeffs[li, 0 : params.Dr] = pos
+        coeffs[li, m - params.Dr + 1 : m] = neg
+    dqt = np.array([DQt % p for p in params.moduli], dtype=np.uint32).reshape(L, 1)
+    return SchemeContext(
+        plan_Q=plan_Q,
+        plan_q=plan_q,
+        rns=rctx,
+        tpoly_dq=jnp.asarray(coeffs),
+        dq_tilde=jnp.asarray(dqt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ciphertext containers (reference src/fhe.jl:206-301, 375-383)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RLWE:
+    """RLWE pair over Z_r: a, b are (..., len) uint32."""
+
+    a: jax.Array
+    b: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LWE:
+    """(Batched) LWE over Z_r: a (..., n), b (...)."""
+
+    a: jax.Array
+    b: jax.Array
+
+    def __add__(self, other):
+        return LWE(self.a + other.a, self.b + other.b)  # callers mask mod r
+
+    def __sub__(self, other):
+        return LWE(self.a - other.a, self.b - other.b)
+
+
+@dataclasses.dataclass
+class PackedCiphertext:
+    """n bits in R_{n,r}^2 from initial encryption (src/fhe.jl:252-255)."""
+
+    params: Params
+    rlwe: RLWE
+
+
+@dataclasses.dataclass
+class Ciphertext:
+    """n bits in R_{m,r}^2 from packing (src/fhe.jl:263-266)."""
+
+    params: Params
+    rlwe: RLWE
+
+
+@dataclasses.dataclass
+class EncryptedBit:
+    """One or a batch of single-bit LWE ciphertexts (src/fhe.jl:272-274)."""
+
+    lwe: LWE
+
+
+@dataclasses.dataclass
+class PrivateEncryptedCiphertext:
+    """Space-optimal private encryption: 6 bits/bit (src/fhe.jl:293-301)."""
+
+    params: Params
+    u: jax.Array  # (n,) uint8 bits
+    v: jax.Array  # (5, n) uint8 bits
+
+
+@dataclasses.dataclass
+class PublicEncryptedCiphertext:
+    """Space-optimal public encryption: (10+log2 n) bits/bit
+    (src/fhe.jl:375-383)."""
+
+    params: Params
+    a_bits: jax.Array  # (t+1, n)
+    b_bits: jax.Array  # (6, n)
+
+
+# ---------------------------------------------------------------------------
+# Keys
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PrivateKey:
+    """s in {0,1}^n as a ring element of Z_r (reference src/fhe.jl:130-138)."""
+
+    params: Params
+    key: jax.Array  # (n,) uint32 bits
+
+    @classmethod
+    def create(cls, params: Params, key: jax.Array) -> "PrivateKey":
+        bits = jax.random.bernoulli(key, 0.5, (params.n,)).astype(jnp.uint32)
+        return cls(params, bits)
+
+
+@dataclasses.dataclass
+class PublicKey:
+    """(k0, k1 = k0 s + e) over Z_q (reference src/fhe.jl:146-168)."""
+
+    params: Params
+    k0: jax.Array  # (n,) uint32 mod q
+    k1: jax.Array
+
+    @classmethod
+    def create(cls, ctx: SchemeContext, sk: PrivateKey, key: jax.Array) -> "PublicKey":
+        k0, k1 = _pubkey_kernel(sk.params, ctx, sk.key, key)
+        return cls(sk.params, k0, k1)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _pubkey_kernel(params: Params, ctx: SchemeContext, s_bits, key: jax.Array):
+    k_u, k_e = jax.random.split(key)
+    q = params.q
+    k0 = jax.random.randint(k_u, (params.n,), 0, q, dtype=jnp.int32).astype(
+        jnp.uint32
+    )
+    # e_max: largest integer strictly less than Dq / (41 n)
+    dq, rr = divmod(params.Dq, 41 * params.n)
+    e_max = dq - (1 if rr == 0 else 0)
+    e = jax.random.randint(
+        k_e, (params.n,), 0, 2 * e_max + 1, dtype=jnp.int32
+    ) - e_max
+    e_mod = jnp.where(e < 0, e + q, e).astype(jnp.uint32)
+    s_q = s_bits[None, :]  # (1, n): limb axis of size 1 for plan_q
+    k1 = ntt_mod.polymul(ctx.plan_q, k0[None, :], s_q)[0]
+    k1 = mm.addmod(k1, e_mod, jnp.uint32(q))
+    return k0, k1
+
+
+@dataclasses.dataclass
+class BootstrapKey:
+    """NTT-domain GSW encryptions of the key bits (reference
+    src/fhe.jl:176-203), stored with Shoup companions for the hot path.
+
+    hat / hat_shoup: (n, 2l, 2, L, m) uint32.
+    """
+
+    params: Params
+    hat: jax.Array
+    hat_shoup: jax.Array
+
+    @classmethod
+    def create(
+        cls, ctx: SchemeContext, sk: PrivateKey, key: jax.Array
+    ) -> "BootstrapKey":
+        params = sk.params
+        L = params.num_limbs
+        hat = _bkey_kernel(params, ctx, sk.key, key)
+        hat_np = np.asarray(hat)
+        mods = np.array(params.moduli, dtype=np.uint64).reshape(1, 1, 1, L, 1)
+        shoup = ((hat_np.astype(np.uint64) << np.uint64(32)) // mods).astype(
+            np.uint32
+        )
+        return cls(params, hat, jnp.asarray(shoup))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _bkey_kernel(params: Params, ctx: SchemeContext, s_bits, key):
+    """Device computation of the bootstrap key (reference src/fhe.jl:181-201),
+    one fused jit program."""
+    n, m, L = params.n, params.m, params.num_limbs
+    l = params.num_digits
+    rows = 2 * l
+    plan = ctx.plan_Q
+    p_vec = plan.p  # (L, 1)
+
+    k_a, k_e = jax.random.split(key)
+    # uniform over [0, Q): independent uniform residues per limb
+    a = _uniform_residues(k_a, (n, rows, L, m), params.moduli)
+    # noise |e| <= n, identical integer across limbs (same residue of the
+    # same signed value)
+    e = jax.random.randint(
+        k_e, (n, rows, 1, m), -params.n, params.n + 1, dtype=jnp.int32
+    )
+    e_mod = jnp.where(e < 0, e + p_vec.astype(jnp.int32), e).astype(jnp.uint32)
+
+    s_ext = pol.resize(s_bits, m)  # (m,) bits
+    s_rns = jnp.broadcast_to(s_ext, (L, m)).astype(jnp.uint32)
+    s_hat = ntt_mod.ntt_fwd(plan, s_rns)
+    a_hat = ntt_mod.ntt_fwd(plan, a)
+    b_hat = ntt_mod.pointwise_mul(plan, a_hat, s_hat)
+    b = ntt_mod.ntt_inv(plan, b_hat)
+    b = mm.addmod(b, e_mod, p_vec)
+
+    C = jnp.stack([a, b], axis=2)  # (n, rows, 2, L, m) coefficient domain
+
+    # + s_i * G: row i gets w_i on column 0, row l+i gets w_i on column 1
+    # (constant-polynomial entries -> coefficient 0 only)
+    wv = ctx.rns.w_val[..., 0]  # (l, L)
+    delta = jnp.zeros((n, rows, 2, L, m), dtype=jnp.uint32)
+    add0 = (s_bits[:, None, None] * wv[None]).astype(jnp.uint32)  # (n, l, L)
+    delta = delta.at[:, :l, 0, :, 0].set(add0)
+    delta = delta.at[:, l:, 1, :, 0].set(add0)
+    C = mm.addmod(C, delta, p_vec)
+
+    return ntt_mod.ntt_fwd(plan, C)
+
+
+def _uniform_residues(key, shape, moduli):
+    """Independent uniform residues mod each p_i — exactly uniform over
+    [0, Q) by CRT (the TPU-native version of reference src/fhe.jl:187-193
+    `rand(range_Q)`)."""
+    L = len(moduli)
+    assert shape[-2] == L
+    keys = jax.random.split(key, L)
+    cols = []
+    for i, p in enumerate(moduli):
+        cols.append(
+            jax.random.randint(
+                keys[i], shape[:-2] + (shape[-1],), 0, p, dtype=jnp.int32
+            ).astype(jnp.uint32)
+        )
+    return jnp.stack(cols, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Encryption / decryption (reference src/fhe.jl:304-507)
+# ---------------------------------------------------------------------------
+
+
+def deterministic_expand(params: Params, u: jax.Array) -> jax.Array:
+    """Expand seed bits u into a mod-r polynomial (src/fhe.jl:304-307)."""
+    return prng.prng_expand(u, params.t + 1)
+
+
+def _encrypt_private(sk: PrivateKey, key: jax.Array, message: jax.Array):
+    """Returns (u, RLWE(a, b)) — reference src/fhe.jl:310-328."""
+    u, a, b = _encrypt_private_kernel(sk.params, sk.key, key, message)
+    return u, RLWE(a, b)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _encrypt_private_kernel(params: Params, s_bits, key, message):
+    mask = jnp.uint32(params.mask_r)
+    k_u, k_w = jax.random.split(key)
+    u = jax.random.bernoulli(k_u, 0.5, (params.n,)).astype(jnp.uint32)
+    a = deterministic_expand(params, u)
+    w_range = params.Dr // 8
+    w = jax.random.randint(
+        k_w, (params.n,), -w_range, w_range + 1, dtype=jnp.int32
+    )
+    wmat = pol.toeplitz_from_small(s_bits)
+    b = pol.negacyclic_matmul_mask(a, wmat, params.mask_r)
+    b = (b + w.astype(jnp.uint32) + message.astype(jnp.uint32) * jnp.uint32(params.Dr)) & mask
+    # keep only the top 5 bits (src/fhe.jl:325)
+    shift = params.t - 4
+    b = (b >> shift) << shift
+    return u, a, b
+
+
+def encrypt(key_obj, key: jax.Array, message: jax.Array):
+    """Private- or public-key encryption of n bits -> PackedCiphertext
+    (reference src/fhe.jl:369-372 / 459-461)."""
+    if isinstance(key_obj, PrivateKey):
+        _, rlwe = _encrypt_private(key_obj, key, message)
+        return PackedCiphertext(key_obj.params, rlwe)
+    raise TypeError("public-key encrypt requires (pk, ctx); use encrypt_public")
+
+
+def encrypt_public(
+    pk: PublicKey, ctx: SchemeContext, key: jax.Array, message: jax.Array
+) -> PackedCiphertext:
+    rlwe = _encrypt_public(pk, ctx, key, message)
+    return PackedCiphertext(pk.params, rlwe)
+
+
+def _encrypt_public(pk: PublicKey, ctx: SchemeContext, key: jax.Array, message):
+    """Reference src/fhe.jl:386-409."""
+    a, b = _encrypt_public_kernel(pk.params, ctx, pk.k0, pk.k1, key, message)
+    return RLWE(a, b)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _encrypt_public_kernel(params: Params, ctx: SchemeContext, pk_k0, pk_k1,
+                           key: jax.Array, message):
+    q = jnp.uint32(params.q)
+    k_u, k_w1, k_w2 = jax.random.split(key, 3)
+    u = jax.random.randint(k_u, (params.n,), -1, 2, dtype=jnp.int32)
+    w1_max = params.Dq // (41 * params.n)
+    w2_max = params.Dq // 82
+    w1 = jax.random.randint(k_w1, (params.n,), -w1_max, w1_max + 1, jnp.int32)
+    w2 = jax.random.randint(k_w2, (params.n,), -w2_max, w2_max + 1, jnp.int32)
+
+    def to_q(x):
+        return jnp.where(x < 0, x + jnp.int32(params.q), x).astype(jnp.uint32)
+
+    u_q = to_q(u)[None, :]
+    a1 = ntt_mod.polymul(ctx.plan_q, pk_k0[None, :], u_q)[0]
+    a1 = mm.addmod(a1, to_q(w1), q)
+    a2 = ntt_mod.polymul(ctx.plan_q, pk_k1[None, :], u_q)[0]
+    a2 = mm.addmod(a2, to_q(w2), q)
+    msg_dq = mm.mod_u32(
+        message.astype(jnp.uint32) * jnp.uint32(params.Dq), q,
+        jnp.uint32(mm.barrett_mu(params.q)),
+    )
+    a2 = mm.addmod(a2, msg_dq, q)
+
+    # modulus switch q -> r (exact): a rounds to r, b floors to top-6-bit grid
+    a = mm.rescale(params.r, a1, params.q, True)
+    new_max_b = params.r // (1 << (params.t - 5))
+    b = mm.rescale(new_max_b, a2, params.q, False)
+    b = b << (params.t - 5)
+    return a, b
+
+
+def encrypt_optimal(key_obj, ctx_or_key, *rest):
+    """Space-optimal encryption (reference src/fhe.jl:339-345, 420-435)."""
+    from ..utils import bits as bits_mod
+
+    if isinstance(key_obj, PrivateKey):
+        key, message = ctx_or_key, rest[0]
+        params = key_obj.params
+        u, rlwe = _encrypt_private(key_obj, key, message)
+        b_packed = rlwe.b >> (params.t - 4)
+        v = bits_mod.unpackbits(b_packed, 5)
+        return PrivateEncryptedCiphertext(params, u.astype(jnp.uint8), v)
+    if isinstance(key_obj, PublicKey):
+        ctx, key, message = ctx_or_key, rest[0], rest[1]
+        params = key_obj.params
+        rlwe = _encrypt_public(key_obj, ctx, key, message)
+        a_bits = bits_mod.unpackbits(rlwe.a, params.t + 1)
+        b_bits = bits_mod.unpackbits(rlwe.b >> (params.t - 5), 6)
+        return PublicEncryptedCiphertext(params, a_bits, b_bits)
+    raise TypeError(type(key_obj))
+
+
+def normalize_ciphertext(ct) -> PackedCiphertext:
+    """Space-optimal -> PackedCiphertext (reference src/fhe.jl:354-359,
+    444-449)."""
+    from ..utils import bits as bits_mod
+
+    params = ct.params
+    if isinstance(ct, PrivateEncryptedCiphertext):
+        a = deterministic_expand(params, ct.u.astype(jnp.uint32))
+        b = bits_mod.packbits(ct.v) << (params.t - 4)
+        return PackedCiphertext(params, RLWE(a, b))
+    if isinstance(ct, PublicEncryptedCiphertext):
+        a = bits_mod.packbits(ct.a_bits)
+        b = bits_mod.packbits(ct.b_bits) << (params.t - 5)
+        return PackedCiphertext(params, RLWE(a, b))
+    raise TypeError(type(ct))
+
+
+def decrypt(sk: PrivateKey, ct) -> jax.Array:
+    """RLWE decryption -> n bool bits (reference src/fhe.jl:471-494)."""
+    return _decrypt_kernel(
+        sk.params, isinstance(ct, Ciphertext), sk.key, ct.rlwe.a, ct.rlwe.b
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _decrypt_kernel(params: Params, extended: bool, s_bits, a, b):
+    mask = jnp.uint32(params.mask_r)
+    s = pol.resize(s_bits, params.m) if extended else s_bits
+    wmat = pol.toeplitz_from_small(s)
+    sa = pol.negacyclic_matmul_mask(a, wmat, params.mask_r)
+    b1 = (b - sa) & mask
+    b1 = b1[..., : params.n]
+    snapped = (b1 + jnp.uint32(params.Dr // 2)) & mask
+    return (snapped // jnp.uint32(params.Dr)).astype(jnp.bool_)
+
+
+def split_ciphertext(ct) -> EncryptedBit:
+    """RLWE -> n LWEs, batched as one EncryptedBit with leading axis n
+    (reference src/fhe.jl:287-290)."""
+    params = ct.params
+    n = params.n
+    a = ct.rlwe.a
+    length = a.shape[-1]  # n for PackedCiphertext, m for Ciphertext
+    # extract for every bit index i: out[i, k] = a[i-k] if k <= i else
+    # -a[length+i-k] (negacyclic wrap pulls from the tail of the full poly)
+    i_idx = jnp.arange(n)[:, None]
+    k_idx = jnp.arange(n)[None, :]
+    src = (i_idx - k_idx) % length
+    neg = k_idx > i_idx
+    g = a[..., src]
+    g = jnp.where(neg, (-g) & jnp.uint32(params.mask_r), g)
+    b = ct.rlwe.b[..., :n]
+    return EncryptedBit(LWE(g, b))
+
+
+def decrypt_bit(sk: PrivateKey, enc_bit: EncryptedBit) -> jax.Array:
+    """LWE decryption -> bool (reference src/fhe.jl:504-507); batched."""
+    params = sk.params
+    mask = jnp.uint32(params.mask_r)
+    dot = jnp.sum(
+        enc_bit.lwe.a.astype(jnp.uint32) * sk.key.astype(jnp.uint32), axis=-1
+    )
+    b1 = (enc_bit.lwe.b - dot) & mask
+    return (((b1 + jnp.uint32(params.Dr // 2)) & mask) // jnp.uint32(params.Dr)).astype(
+        jnp.bool_
+    )

@@ -1,0 +1,359 @@
+"""Scheme 2: k-bit message FHE (Case/Gao/Hu/Xu, eprint 2019/521).
+
+TPU-native rebuild of reference src/fhe2.jl + src/rns.jl. The reference marks
+this module experimental and implements parameters, keys (including the
+BootstrapKey — constructed but never used, src/fhe2.jl:6,
+examples/test_scheme2.jl:26) and encrypt/decrypt; no scheme-2 bootstrap
+exists upstream, and none is claimed here.
+
+Parameter deviations (documented, value-preserving):
+ - Q: the reference takes Q = B*Bp for two ~34-bit primes (src/fhe2.jl:57-60)
+   — too wide for uint32 lanes. We keep Q >= (the reference's Bp lower
+   bound)^2 but split it over balanced NTT-friendly primes < 2^29, reusing the
+   same RNS/mixed-radix machinery as scheme 1 (which is exactly the design
+   this module pioneered upstream).
+ - q: for k >= 2 the reference's q = find_modulus(2n, 2^7 r n) exceeds 2^28
+   (k=5: ~2^33), so q too becomes a product of NTT-friendly primes < 2^28
+   with the same lower bound, and the q->r modulus switch uses the RNS
+   CRT-interpolation rescale (±1 LSB, bounded noise) instead of the exact
+   single-word path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modmath as mm
+from ..ops import ntt as ntt_mod
+from ..ops import poly as pol
+from ..ops import rns as rns_mod
+from ..utils import primes as pr
+from ..utils import prng
+
+
+@dataclasses.dataclass(frozen=True)
+class Params:
+    """Reference src/fhe2.jl:17-71, `Params(k)`."""
+
+    n: int
+    k: int
+    r: int
+    m: int
+    t: int
+    q_moduli: tuple[int, ...]
+    tau: int
+    moduli: tuple[int, ...]  # RNS primes for Q
+    Dr: int
+    Dq: int
+
+    @classmethod
+    def create(cls, k: int) -> "Params":
+        assert 1 <= k <= 5, "paper provides parameter sets for k in 1..5"
+        n = 2**10
+        sqrt_n = math.isqrt(n)
+        r = 2 ** (k + 6) * sqrt_n
+        m = r // 2
+        l = 2  # the reference's decomposition length (noise-bound input only)
+        t = math.ceil(math.log2(r)) - 1
+
+        q_min = 2**7 * r * n
+        if q_min < (1 << 27):
+            q_moduli = (pr.find_modulus(2 * n, q_min),)
+        else:
+            count = max(2, math.ceil(q_min.bit_length() / 27))
+            q_moduli = pr.find_rns_primes(
+                2 * n, q_min, q_min * 2, count, limit=1 << 28
+            )
+
+        tau = 2 * sqrt_n
+        bound = 15 * 2 ** (2 * k + 2) * r * tau * math.isqrt(2 * l * m)
+        qmin_Q = bound * bound
+        count_Q = max(2, math.ceil(qmin_Q.bit_length() / 28))
+        moduli = pr.find_rns_primes(2 * m, qmin_Q, qmin_Q * 2, count_Q)
+
+        q = 1
+        for p in q_moduli:
+            q *= p
+        return cls(
+            n=n, k=k, r=r, m=m, t=t, q_moduli=q_moduli, tau=tau,
+            moduli=moduli, Dr=r // 2 ** (k + 2), Dq=q // 2 ** (k + 2),
+        )
+
+    @property
+    def q(self) -> int:
+        prod = 1
+        for p in self.q_moduli:
+            prod *= p
+        return prod
+
+    @property
+    def Q(self) -> int:
+        prod = 1
+        for p in self.moduli:
+            prod *= p
+        return prod
+
+    @property
+    def DQ(self) -> int:
+        return self.Q // 2 ** (self.k + 2)
+
+    @property
+    def num_limbs(self) -> int:
+        return len(self.moduli)
+
+    @property
+    def num_digits(self) -> int:
+        return len(self.moduli)
+
+    @property
+    def mask_r(self) -> int:
+        return self.r - 1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scheme2Context:
+    plan_Q: ntt_mod.NttPlan
+    plan_q: ntt_mod.NttPlan
+    rns_Q: rns_mod.RnsContext
+    rns_q: rns_mod.RnsContext  # rescale target r
+
+
+def make_context(params: Params) -> Scheme2Context:
+    plan_Q = ntt_mod.build_plan(params.moduli, params.m)
+    plan_q = ntt_mod.build_plan(params.q_moduli, params.n)
+    host_Q = rns_mod.build_context(params.moduli)
+    host_q = rns_mod.build_context(params.q_moduli)
+    return Scheme2Context(
+        plan_Q=plan_Q,
+        plan_q=plan_q,
+        rns_Q=host_Q.device_context(new_max=params.r),
+        rns_q=host_q.device_context(new_max=params.r),
+    )
+
+
+@dataclasses.dataclass
+class PrivateKey:
+    params: Params
+    key: jax.Array  # (n,) bits
+
+    @classmethod
+    def create(cls, params: Params, key: jax.Array) -> "PrivateKey":
+        bits = jax.random.bernoulli(key, 0.5, (params.n,)).astype(jnp.uint32)
+        return cls(params, bits)
+
+
+@dataclasses.dataclass
+class PublicKey:
+    """Reference src/fhe2.jl:134-156."""
+
+    params: Params
+    k0: jax.Array  # (Lq, n)
+    k1: jax.Array
+
+    @classmethod
+    def create(cls, ctx: Scheme2Context, sk: PrivateKey, key) -> "PublicKey":
+        params = sk.params
+        Lq = len(params.q_moduli)
+        n = params.n
+        k_u, k_e = jax.random.split(key)
+        keys_u = jax.random.split(k_u, Lq)
+        k0 = jnp.stack(
+            [
+                jax.random.randint(keys_u[i], (n,), 0, p, dtype=jnp.int32).astype(
+                    jnp.uint32
+                )
+                for i, p in enumerate(params.q_moduli)
+            ]
+        )
+        dq, rr = divmod(params.Dq, 512 * params.n)
+        e_max = dq - (1 if rr == 0 else 0)
+        e = jax.random.randint(k_e, (1, n), -e_max, e_max + 1, dtype=jnp.int32)
+        p_vec = ctx.plan_q.p
+        e_mod = jnp.where(e < 0, e + p_vec.astype(jnp.int32), e).astype(jnp.uint32)
+        s_q = jnp.broadcast_to(sk.key, (Lq, n)).astype(jnp.uint32)
+        k1 = ntt_mod.polymul(ctx.plan_q, k0, s_q)
+        k1 = mm.addmod(k1, e_mod, p_vec)
+        return cls(params, k0, k1)
+
+
+@dataclasses.dataclass
+class BootstrapKey:
+    """Reference src/fhe2.jl:104-131 — same GSW structure as scheme 1 with
+    noise ±tau; constructed for parity (the reference never consumes it)."""
+
+    params: Params
+    hat: jax.Array        # (n, 2l, 2, L, m)
+    hat_shoup: jax.Array
+
+    @classmethod
+    def create(cls, ctx: Scheme2Context, sk: PrivateKey, key) -> "BootstrapKey":
+        params = sk.params
+        n, m, L = params.n, params.m, params.num_limbs
+        l = params.num_digits
+        rows = 2 * l
+        plan = ctx.plan_Q
+        p_vec = plan.p
+        host = rns_mod.build_context(params.moduli)
+        rctx = host.device_context()
+
+        k_a, k_e = jax.random.split(key)
+        keys_a = jax.random.split(k_a, L)
+        a = jnp.stack(
+            [
+                jax.random.randint(
+                    keys_a[i], (n, rows, m), 0, p, dtype=jnp.int32
+                ).astype(jnp.uint32)
+                for i, p in enumerate(params.moduli)
+            ],
+            axis=-2,
+        )
+        e = jax.random.randint(
+            k_e, (n, rows, 1, m), -params.tau, params.tau + 1, dtype=jnp.int32
+        )
+        e_mod = jnp.where(e < 0, e + p_vec.astype(jnp.int32), e).astype(jnp.uint32)
+
+        s_ext = pol.resize(sk.key, m)
+        s_rns = jnp.broadcast_to(s_ext, (L, m)).astype(jnp.uint32)
+        s_hat = ntt_mod.ntt_fwd(plan, s_rns)
+        b = ntt_mod.ntt_inv(
+            plan, ntt_mod.pointwise_mul(plan, ntt_mod.ntt_fwd(plan, a), s_hat)
+        )
+        b = mm.addmod(b, e_mod, p_vec)
+        C = jnp.stack([a, b], axis=2)
+
+        wv = rctx.w_val[..., 0]  # (l, L)
+        add0 = (sk.key[:, None, None] * wv[None]).astype(jnp.uint32)
+        delta = jnp.zeros((n, rows, 2, L, m), dtype=jnp.uint32)
+        delta = delta.at[:, :l, 0, :, 0].set(add0)
+        delta = delta.at[:, l:, 1, :, 0].set(add0)
+        C = mm.addmod(C, delta, p_vec)
+
+        hat = ntt_mod.ntt_fwd(plan, C)
+        hat_np = np.asarray(hat)
+        mods = np.array(params.moduli, dtype=np.uint64).reshape(1, 1, 1, L, 1)
+        shoup = ((hat_np.astype(np.uint64) << np.uint64(32)) // mods).astype(np.uint32)
+        return cls(params, hat, jnp.asarray(shoup))
+
+
+def deterministic_expand(params: Params, u: jax.Array) -> jax.Array:
+    return prng.prng_expand(u, params.t + 1)
+
+
+def encrypt(key_obj, ctx_or_key, *rest):
+    """k-bit digit encryption (reference src/fhe2.jl:165-210).
+
+    PrivateKey: encrypt(sk, key, message) -> (a, b) polys mod r.
+    PublicKey:  encrypt(pk, ctx, key, message).
+    Messages: (n,) ints in [0, 2^k).
+    """
+    if isinstance(key_obj, PrivateKey):
+        key, message = ctx_or_key, rest[0]
+        return _encrypt_private(key_obj, key, message)
+    if isinstance(key_obj, PublicKey):
+        ctx, key, message = ctx_or_key, rest[0], rest[1]
+        return _encrypt_public(key_obj, ctx, key, message)
+    raise TypeError(type(key_obj))
+
+
+def _encrypt_private(sk: PrivateKey, key, message):
+    params = sk.params
+    mask = jnp.uint32(params.mask_r)
+    k_u, k_w = jax.random.split(key)
+    u = jax.random.bernoulli(k_u, 0.5, (params.n,)).astype(jnp.uint32)
+    a = deterministic_expand(params, u)
+    w_range = params.Dr // 8
+    w = jax.random.randint(k_w, (params.n,), -w_range, w_range + 1, jnp.int32)
+    wmat = pol.toeplitz_from_small(sk.key)
+    b = pol.negacyclic_matmul_mask(a, wmat, params.mask_r)
+    b = (b + w.astype(jnp.uint32) + message.astype(jnp.uint32) * jnp.uint32(params.Dr)) & mask
+    shift = params.t - params.k - 4
+    b = (b >> shift) << shift
+    return a, b
+
+
+def _encrypt_public(pk: PublicKey, ctx: Scheme2Context, key, message):
+    params = pk.params
+    Lq = len(params.q_moduli)
+    p_vec = ctx.plan_q.p
+    k_u, k_w1, k_w2 = jax.random.split(key, 3)
+    u = jax.random.randint(k_u, (1, params.n), -1, 2, dtype=jnp.int32)
+    w1_max = params.Dq // (64 * params.n)
+    w2_max = params.Dq // 512
+    w1 = jax.random.randint(k_w1, (1, params.n), -w1_max, w1_max + 1, jnp.int32)
+    w2 = jax.random.randint(k_w2, (1, params.n), -w2_max, w2_max + 1, jnp.int32)
+
+    def to_q(x):
+        return jnp.where(x < 0, x + p_vec.astype(jnp.int32), x).astype(jnp.uint32)
+
+    u_q = to_q(jnp.broadcast_to(u, (Lq, params.n)))
+    a1 = mm.addmod(ntt_mod.polymul(ctx.plan_q, pk.k0, u_q), to_q(w1), p_vec)
+    b1 = mm.addmod(ntt_mod.polymul(ctx.plan_q, pk.k1, u_q), to_q(w2), p_vec)
+    dq_res = jnp.asarray(
+        np.array(
+            [params.Dq % p for p in params.q_moduli], dtype=np.uint32
+        ).reshape(Lq, 1)
+    )
+    dq_shoup = jnp.asarray(
+        np.array(
+            [mm.shoup_const(params.Dq % p, p) for p in params.q_moduli],
+            dtype=np.uint32,
+        ).reshape(Lq, 1)
+    )
+    msg_dq = mm.shoup_mul(
+        jnp.broadcast_to(message.astype(jnp.uint32), (Lq, params.n)),
+        dq_res, dq_shoup, p_vec,
+    )
+    b1 = mm.addmod(b1, msg_dq, p_vec)
+
+    # modulus switch q -> r (reference src/fhe2.jl:202-207)
+    a = _switch_q_to_r(params, ctx, a1, params.r, round_result=True)
+    grid = 1 << (params.t - params.k - 5)
+    b = _switch_q_to_r(params, ctx, b1, params.r // grid, round_result=False)
+    b = b << (params.t - params.k - 5)
+    return a, b
+
+
+def _switch_q_to_r(params, ctx, x, new_max, round_result):
+    if len(params.q_moduli) == 1:
+        y = x[0]
+        out = mm.rescale(new_max, y, params.q_moduli[0], round_result)
+        return out
+    # RNS path: CRT-interpolation rescale (round); floor approximated by
+    # round(v - 0.5) via an offset of -Q/2 on the value
+    if not round_result:
+        half = rns_mod.build_context(params.q_moduli)  # host consts
+        # subtract Q/(2*new_max) before rounding: floor(v) ≈ round(v - 0.5)
+        off = half.Q // (2 * new_max)
+        off_res = jnp.asarray(
+            np.array(
+                [(-off) % p for p in params.q_moduli], dtype=np.uint32
+            ).reshape(len(params.q_moduli), 1)
+        )
+        x = mm.addmod(x, off_res, ctx.plan_q.p)
+    ctx_q = ctx.rns_q
+    scaled = rns_mod.rescale_round(
+        dataclasses.replace(
+            ctx_q,
+            r_over_p=ctx_q.r_over_p * (new_max / params.r),
+        ),
+        x,
+        new_max - 1,
+    )
+    return scaled
+
+
+def decrypt(sk: PrivateKey, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Reference src/fhe2.jl:213-236; returns (n,) ints in [0, 2^k)."""
+    params = sk.params
+    mask = jnp.uint32(params.mask_r)
+    wmat = pol.toeplitz_from_small(sk.key)
+    sa = pol.negacyclic_matmul_mask(a, wmat, params.mask_r)
+    b1 = (b - sa) & mask
+    snapped = (b1 + jnp.uint32(params.Dr // 2)) & mask
+    return (snapped // jnp.uint32(params.Dr)).astype(jnp.int32)

@@ -79,8 +79,13 @@ class NttPlan:
         return self.pre_tw.shape[-1]
 
 
-def build_plan(moduli: tuple[int, ...], m: int) -> NttPlan:
-    """Host-side plan construction (Python ints / numpy uint64; exact)."""
+def build_plan(moduli: tuple[int, ...], m: int, negacyclic: bool = True) -> NttPlan:
+    """Host-side plan construction (Python ints / numpy uint64; exact).
+
+    negacyclic=True: ψ-twisted transform over x^m+1 (the scheme's rings).
+    negacyclic=False: plain cyclic transform over x^m-1 (used by the
+    distributed four-step decomposition, parallel/ntt_dist.py).
+    """
     assert m >= 2 and (m & (m - 1)) == 0
     L = len(moduli)
     stages = m.bit_length() - 1
@@ -101,10 +106,15 @@ def build_plan(moduli: tuple[int, ...], m: int) -> NttPlan:
 
     for li, p in enumerate(moduli):
         assert p < (1 << 30), "moduli must be < 2^30 for Shoup/lazy arithmetic"
-        assert (p - 1) % (2 * m) == 0, "p must be ≡ 1 mod 2m for negacyclic NTT"
-        psi = pr.root_of_unity(2 * m, p)
-        assert pow(psi, m, p) == p - 1
-        omega = psi * psi % p
+        if negacyclic:
+            assert (p - 1) % (2 * m) == 0, "p must be ≡ 1 mod 2m for negacyclic NTT"
+            psi = pr.root_of_unity(2 * m, p)
+            assert pow(psi, m, p) == p - 1
+            omega = psi * psi % p
+        else:
+            assert (p - 1) % m == 0, "p must be ≡ 1 mod m for cyclic NTT"
+            psi = 1
+            omega = pr.root_of_unity(m, p)
         inv_omega = pr.inv_mod(omega, p)
         inv_psi = pr.inv_mod(psi, p)
         inv_m = pr.inv_mod(m, p)

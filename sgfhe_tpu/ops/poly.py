@@ -25,17 +25,21 @@ def mul_by_monomial(x: jax.Array, j: jax.Array, p: jax.Array) -> jax.Array:
     m = x.shape[-1]
     j = jnp.asarray(j) % (2 * m)
     k = jnp.arange(m, dtype=jnp.int32)
-    # j applies per batch element; x may carry trailing limb axes between the
-    # batch axes and the coefficient axis — insert singleton dims on j.
-    extra = x.ndim - 1 - j.ndim
-    jb = j.reshape(j.shape + (1,) * extra) if extra > 0 else j
-    rel = (k - jb[..., None]) % (2 * m)
+    if j.ndim == 0:
+        rel = (k - j) % (2 * m)
+    else:
+        # j's axes are x's leading batch axes; pad with singletons for the
+        # remaining non-coefficient axes of x (e.g. the RNS limb axis).
+        assert x.ndim - 1 >= j.ndim, (x.shape, j.shape)
+        jb = j.reshape(j.shape + (1,) * (x.ndim - 1 - j.ndim))
+        rel = (k - jb[..., None]) % (2 * m)
     src = (rel % m).astype(jnp.int32)
     flip = rel >= m
-    src_b = jnp.broadcast_to(src, jnp.broadcast_shapes(x.shape, src.shape))
-    x_b = jnp.broadcast_to(x, src_b.shape)
+    out_shape = jnp.broadcast_shapes(x.shape, src.shape)
+    src_b = jnp.broadcast_to(src, out_shape)
+    x_b = jnp.broadcast_to(x, out_shape)
     g = jnp.take_along_axis(x_b, src_b, axis=-1)
-    return jnp.where(jnp.broadcast_to(flip, g.shape), mm.negmod(g, p), g)
+    return jnp.where(jnp.broadcast_to(flip, out_shape), mm.negmod(g, p), g)
 
 
 def resize(x: jax.Array, m: int) -> jax.Array:
