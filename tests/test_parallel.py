@@ -1,0 +1,90 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (conftest.py): sharded
+execution must reproduce single-device results bit-for-bit (the deterministic
+path makes exact comparison possible)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import sgfhe_tpu as F
+from sgfhe_tpu.parallel import mesh as mesh_mod
+from sgfhe_tpu.parallel import sharded
+from sgfhe_tpu.parallel import ntt_dist
+from sgfhe_tpu.ops import ntt as ntt_mod
+from sgfhe_tpu.utils import primes as pr
+
+
+@pytest.fixture(scope="module")
+def setup64():
+    params = F.Params.create(64)
+    ctx = F.make_context(params)
+    key = jax.random.key(55)
+    k_sk, k_bk = jax.random.split(key)
+    sk = F.PrivateKey.create(params, k_sk)
+    bkey = F.BootstrapKey.create(ctx, sk, k_bk)
+    return params, ctx, sk, bkey
+
+
+def test_sharded_bootstrap_matches_single(setup64):
+    params, ctx, sk, bkey = setup64
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+    mesh = mesh_mod.make_mesh(dp=4, tp=2)
+
+    msg = np.asarray(jax.random.bernoulli(jax.random.key(56), 0.5, (params.n,)))
+    ct = F.encrypt(sk, jax.random.key(57), jnp.asarray(msg))
+    bits = F.split_ciphertext(ct)
+    lwe1 = F.LWE(bits.lwe.a[0::2], bits.lwe.b[0::2])
+    lwe2 = F.LWE(bits.lwe.a[1::2], bits.lwe.b[1::2])
+
+    single = F.bootstrap_batch(params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2)
+    multi = sharded.bootstrap_batch_sharded(params, ctx, bkey, lwe1, lwe2, mesh)
+    for s, m_ in zip(single, multi):
+        np.testing.assert_array_equal(np.asarray(s.a), np.asarray(m_.a))
+        np.testing.assert_array_equal(np.asarray(s.b), np.asarray(m_.b))
+
+
+def test_sharded_pack_matches_single(setup64):
+    params, ctx, sk, bkey = setup64
+    mesh = mesh_mod.make_mesh(dp=4, tp=2)
+    msg = np.asarray(jax.random.bernoulli(jax.random.key(58), 0.5, (params.n,)))
+    ct = F.encrypt(sk, jax.random.key(59), jnp.asarray(msg))
+    bits = F.split_ciphertext(ct)
+
+    single = F.pack_encrypted_bits(params, ctx, bkey, bits)
+    multi = sharded.pack_encrypted_bits_sharded(params, ctx, bkey, bits.lwe, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(single.rlwe.a), np.asarray(multi.rlwe.a)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single.rlwe.b), np.asarray(multi.rlwe.b)
+    )
+    assert (np.asarray(F.decrypt(sk, multi)) == msg).all()
+
+
+def test_dist_ntt_polymul_matches_local():
+    """Four-step distributed negacyclic polymul == single-device NTT polymul."""
+    m1, m2 = 16, 32
+    m = m1 * m2
+    mods = []
+    start = 1 << 20
+    while len(mods) < 2:
+        q = pr.find_modulus(2 * m, start)
+        mods.append(q)
+        start = q + 1
+    moduli = tuple(mods)
+    mesh = mesh_mod.make_mesh(dp=2, tp=4)
+
+    local_plan = ntt_mod.build_plan(moduli, m)
+    dist_plan = ntt_dist.build_dist_plan(moduli, m1, m2)
+
+    rng = np.random.default_rng(0)
+    a = np.stack([rng.integers(0, p, size=m, dtype=np.uint32) for p in moduli])
+    b = np.stack([rng.integers(0, p, size=m, dtype=np.uint32) for p in moduli])
+    expect = np.asarray(ntt_mod.polymul(local_plan, jnp.asarray(a), jnp.asarray(b)))
+
+    run = ntt_dist.make_dist_polymul(dist_plan, mesh, axis="tp")
+    a3 = jnp.asarray(a.reshape(len(moduli), m1, m2))
+    b3 = jnp.asarray(b.reshape(len(moduli), m1, m2))
+    got = np.asarray(run(a3, b3)).reshape(len(moduli), m)
+    np.testing.assert_array_equal(got, expect)
