@@ -191,7 +191,9 @@ def _pubkey_kernel(params: Params, ctx: SchemeContext, s_bits, key: jax.Array):
     e = jax.random.randint(
         k_e, (params.n,), 0, 2 * e_max + 1, dtype=jnp.int32
     ) - e_max
-    e_mod = jnp.where(e < 0, e + q, e).astype(jnp.uint32)
+    e_mod = mm.embed_signed(
+        e, jnp.uint32(q), ctx.plan_q.mu[0, 0], ctx.plan_q.r_mod_p[0, 0]
+    )
     s_q = s_bits[None, :]  # (1, n): limb axis of size 1 for plan_q
     k1 = ntt_mod.polymul(ctx.plan_q, k0[None, :], s_q)[0]
     k1 = mm.addmod(k1, e_mod, jnp.uint32(q))
@@ -243,7 +245,7 @@ def _bkey_kernel(params: Params, ctx: SchemeContext, s_bits, key):
     e = jax.random.randint(
         k_e, (n, rows, 1, m), -params.n, params.n + 1, dtype=jnp.int32
     )
-    e_mod = jnp.where(e < 0, e + p_vec.astype(jnp.int32), e).astype(jnp.uint32)
+    e_mod = mm.embed_signed(e, p_vec, plan.mu, plan.r_mod_p)
 
     s_ext = pol.resize(s_bits, m)  # (m,) bits
     s_rns = jnp.broadcast_to(s_ext, (L, m)).astype(jnp.uint32)
@@ -353,7 +355,9 @@ def _encrypt_public_kernel(params: Params, ctx: SchemeContext, pk_k0, pk_k1,
     w2 = jax.random.randint(k_w2, (params.n,), -w2_max, w2_max + 1, jnp.int32)
 
     def to_q(x):
-        return jnp.where(x < 0, x + jnp.int32(params.q), x).astype(jnp.uint32)
+        return mm.embed_signed(
+            x, jnp.uint32(params.q), ctx.plan_q.mu[0, 0], ctx.plan_q.r_mod_p[0, 0]
+        )
 
     u_q = to_q(u)[None, :]
     a1 = ntt_mod.polymul(ctx.plan_q, pk_k0[None, :], u_q)[0]

@@ -174,8 +174,9 @@ class PublicKey:
         dq, rr = divmod(params.Dq, 512 * params.n)
         e_max = dq - (1 if rr == 0 else 0)
         e = jax.random.randint(k_e, (1, n), -e_max, e_max + 1, dtype=jnp.int32)
-        p_vec = ctx.plan_q.p
-        e_mod = jnp.where(e < 0, e + p_vec.astype(jnp.int32), e).astype(jnp.uint32)
+        plan_q = ctx.plan_q
+        p_vec = plan_q.p
+        e_mod = mm.embed_signed(e, p_vec, plan_q.mu, plan_q.r_mod_p)
         s_q = jnp.broadcast_to(sk.key, (Lq, n)).astype(jnp.uint32)
         k1 = ntt_mod.polymul(ctx.plan_q, k0, s_q)
         k1 = mm.addmod(k1, e_mod, p_vec)
@@ -216,7 +217,7 @@ class BootstrapKey:
         e = jax.random.randint(
             k_e, (n, rows, 1, m), -params.tau, params.tau + 1, dtype=jnp.int32
         )
-        e_mod = jnp.where(e < 0, e + p_vec.astype(jnp.int32), e).astype(jnp.uint32)
+        e_mod = mm.embed_signed(e, p_vec, plan.mu, plan.r_mod_p)
 
         s_ext = pol.resize(sk.key, m)
         s_rns = jnp.broadcast_to(s_ext, (L, m)).astype(jnp.uint32)
@@ -288,8 +289,10 @@ def _encrypt_public(pk: PublicKey, ctx: Scheme2Context, key, message):
     w1 = jax.random.randint(k_w1, (1, params.n), -w1_max, w1_max + 1, jnp.int32)
     w2 = jax.random.randint(k_w2, (1, params.n), -w2_max, w2_max + 1, jnp.int32)
 
+    plan_q = ctx.plan_q
+
     def to_q(x):
-        return jnp.where(x < 0, x + p_vec.astype(jnp.int32), x).astype(jnp.uint32)
+        return mm.embed_signed(x, p_vec, plan_q.mu, plan_q.r_mod_p)
 
     u_q = to_q(jnp.broadcast_to(u, (Lq, params.n)))
     a1 = mm.addmod(ntt_mod.polymul(ctx.plan_q, pk.k0, u_q), to_q(w1), p_vec)

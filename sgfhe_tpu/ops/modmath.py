@@ -96,6 +96,20 @@ def shoup_mul(a, w, w_shoup, p):
     return jnp.where(r >= p, r - p, r)
 
 
+def embed_signed(x, p, mu, r_mod_p):
+    """Residue of a signed int32 array mod p (any p < 2^31).
+
+    Works for the FULL int32 range: reinterpret as uint32 (x mod 2^32), reduce
+    mod p, then remove the 2^32 offset for negatives. Use this for noise /
+    mask samples whose range may exceed p — a bare `where(x<0, x+p, x)` is
+    only correct when |x| < p.
+    """
+    xu = x.astype(U32)
+    r0 = mod_u32(xu, p, mu)
+    corr = jnp.where(x < 0, r_mod_p, jnp.zeros_like(r_mod_p))
+    return submod(r0, jnp.broadcast_to(corr, r0.shape), p)
+
+
 def mulmod(a, b, p, mu, r_mod_p, r_shoup):
     """Generic a*b mod p for a, b < 2^32 (Barrett via hi/lo split).
 
