@@ -159,7 +159,7 @@ def make_dist_polymul(plan: DistNttPlan, mesh, axis: str = "tp"):
     def run(a, b):
         sa = spec_for(a)
         return shard_map(
-            body, mesh=mesh, in_specs=(sa, sa), out_specs=sa, check_rep=False
+            body, mesh=mesh, in_specs=(sa, sa), out_specs=sa, check_vma=False
         )(a, b)
 
     return run

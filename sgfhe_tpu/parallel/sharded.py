@@ -42,7 +42,7 @@ def bootstrap_batch_sharded(params: Params, ctx: SchemeContext, bkey, lwe1: LWE,
         mesh=mesh,
         in_specs=(spec_r, spec_r, spec_r, (spec_b, spec_b), (spec_b, spec_b)),
         out_specs=((spec_b, spec_b),) * 3,
-        check_rep=False,
+        check_vma=False,
     )
     def run(bkey_hat, bkey_shoup, ctx_, lwe1_, lwe2_):
         res = bs.bootstrap_internal(
@@ -72,7 +72,7 @@ def pack_encrypted_bits_sharded(params: Params, ctx: SchemeContext, bkey,
         mesh=mesh,
         in_specs=(spec_r, spec_r, spec_r, (spec_gate, spec_gate), spec_gate),
         out_specs=(spec_r, spec_r),
-        check_rep=False,
+        check_vma=False,
     )
     def run(bkey_hat, bkey_shoup, ctx_, bits, my_idx):
         a_bits, b_bits = bits

@@ -4,9 +4,22 @@ build plan step 7). Must run before jax initializes."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when a TPU platform (e.g. axon) is configured in the
+# environment: tests must run anywhere, and the parallel tests need 8 virtual
+# devices. Benchmarks (bench.py) intentionally use the real device instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Belt and braces: if something imported jax before this conftest (a pytest
+# plugin, say), the env var alone is too late — update the config explicitly
+# (valid until the first backend initialization).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) >= 8, (
+    "expected 8 virtual CPU devices; got " + repr(jax.devices())
+)
