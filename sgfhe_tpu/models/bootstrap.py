@@ -80,10 +80,9 @@ def _external_step(params: Params, ctx: SchemeContext, a_acc, b_acc, ck_hat,
             t_acc = wprod if t_acc is None else mm.addmod(t_acc, wprod, p)
         new_hats.append((s_acc, t_acc))
 
-    e_w, e_ws = ntt_mod.monomial_eval(plan, u_k)  # (batch, L, m)
     outs = []
     for s_acc, t_acc in new_hats:
-        rot = mm.shoup_mul(s_acc, e_w, e_ws, p)
+        rot = ntt_mod.monomial_mul_hat(plan, s_acc, u_k)
         val = mm.addmod(mm.submod(rot, s_acc, p), t_acc, p)
         outs.append(ntt_mod.ntt_inv(plan, val))
     return outs[0], outs[1]
@@ -110,10 +109,13 @@ def bootstrap_internal(
     ub = (b1 + b2) & mask  # (batch,)
 
     batch = ua.shape[0]
-    tpoly_b = jnp.broadcast_to(ctx.tpoly_dq, (batch, L, m))
-    b_acc = pol.mul_by_monomial(
-        tpoly_b, (2 * m - ub.astype(jnp.int32)) % (2 * m), plan.p
-    )  # (batch, L, m)
+    # b0 = t(x) * DQ~ * x^{-ub}: rotate in the hat domain (gather-free bit
+    # ladder) and invert once, instead of a coefficient-domain gather
+    tpoly_hat_b = jnp.broadcast_to(ctx.tpoly_dq_hat, (batch, L, m))
+    shift = (jnp.uint32(2 * m) - ub) & jnp.uint32(2 * m - 1)
+    b_acc = ntt_mod.ntt_inv(
+        plan, ntt_mod.monomial_mul_hat(plan, tpoly_hat_b, shift)
+    )
     a_acc = jnp.zeros((batch, L, m), dtype=jnp.uint32)
 
     if flat_key is not None:

@@ -45,6 +45,7 @@ class SchemeContext:
     plan_q: ntt_mod.NttPlan       # length-n NTT over the single prime q
     rns: rns_mod.RnsContext       # RNS constants (rescale target r)
     tpoly_dq: jax.Array           # (L, m): t(x) * DQ~ residues (initial poly)
+    tpoly_dq_hat: jax.Array       # (L, m): NTT of the above
     dq_tilde: jax.Array           # (L, 1): DQ~ mod p_i
 
 
@@ -66,11 +67,13 @@ def make_context(params: Params) -> SchemeContext:
         coeffs[li, 0 : params.Dr] = pos
         coeffs[li, m - params.Dr + 1 : m] = neg
     dqt = np.array([DQt % p for p in params.moduli], dtype=np.uint32).reshape(L, 1)
+    tpoly = jnp.asarray(coeffs)
     return SchemeContext(
         plan_Q=plan_Q,
         plan_q=plan_q,
         rns=rctx,
-        tpoly_dq=jnp.asarray(coeffs),
+        tpoly_dq=tpoly,
+        tpoly_dq_hat=ntt_mod.ntt_fwd(plan_Q, tpoly),
         dq_tilde=jnp.asarray(dqt),
     )
 

@@ -69,6 +69,12 @@ class NttPlan:
     psi_pow: jax.Array    # (L, 2m) ψ^k table (monomial evaluation)
     psi_pow_s: jax.Array
     eval_exp: jax.Array   # (m,) int32: 2*br(idx)+1
+    # bit-ladder tables for gather-free monomial multiplication:
+    # mono_pow[b, li, idx] = ψ^{E[idx] * 2^b mod 2m}; folding over the set
+    # bits of a traced exponent u multiplies a hat vector by x^u using only
+    # Shoup multiplies and selects (TPU gathers are slow).
+    mono_pow: jax.Array   # (log2(2m), L, m)
+    mono_pow_s: jax.Array
 
     @property
     def num_limbs(self) -> int:
@@ -156,6 +162,14 @@ def build_plan(moduli: tuple[int, ...], m: int, negacyclic: bool = True) -> NttP
             psi_pow[li, k] = cur
             cur = cur * psi % p
 
+    nbits = (2 * m).bit_length() - 1  # exponents live in [0, 2m)
+    mono_pow = np.zeros((nbits, L, m), dtype=np.uint32)
+    for li, p in enumerate(moduli):
+        for b in range(nbits):
+            for idx in range(m):
+                e = ((2 * int(br[idx]) + 1) << b) % (2 * m)
+                mono_pow[b, li, idx] = psi_pow[li, e]
+
     def shoup_table(vals: np.ndarray) -> np.ndarray:
         out = np.empty_like(vals)
         for li, p in enumerate(moduli):
@@ -186,6 +200,10 @@ def build_plan(moduli: tuple[int, ...], m: int, negacyclic: bool = True) -> NttP
         psi_pow=jnp.asarray(psi_pow),
         psi_pow_s=jnp.asarray(shoup_table(psi_pow)),
         eval_exp=jnp.asarray(eval_exp),
+        mono_pow=jnp.asarray(mono_pow),
+        mono_pow_s=jnp.asarray(
+            np.stack([shoup_table(mono_pow[b]) for b in range(nbits)])
+        ),
     )
 
 
@@ -244,6 +262,22 @@ def pointwise_mul(plan: NttPlan, a_hat: jax.Array, b_hat: jax.Array) -> jax.Arra
 def polymul(plan: NttPlan, a: jax.Array, b: jax.Array) -> jax.Array:
     """Negacyclic product of (..., L, m) coefficient arrays (setup paths)."""
     return ntt_inv(plan, pointwise_mul(plan, ntt_fwd(plan, a), ntt_fwd(plan, b)))
+
+
+def monomial_mul_hat(plan: NttPlan, x: jax.Array, u: jax.Array) -> jax.Array:
+    """Multiply a hat-domain vector x (..., L, m) by the monomial x^u for a
+    traced exponent u (batch dims matching x's leading dims), WITHOUT gathers:
+    fold over u's bits with the precomputed ψ-power bit-ladder. ~log2(2m)
+    Shoup multiplies + selects — the TPU-friendly form of the reference's
+    `mul_by_monomial` in the evaluation domain (src/fhe.jl:554-556)."""
+    u = jnp.asarray(u).astype(jnp.uint32)
+    nbits = plan.mono_pow.shape[0]
+    cond_shape = u.shape + (1, 1)  # broadcast over (L, m)
+    for b in range(nbits):
+        y = mm.shoup_mul(x, plan.mono_pow[b], plan.mono_pow_s[b], plan.p)
+        bit = ((u >> b) & jnp.uint32(1)).astype(jnp.bool_).reshape(cond_shape)
+        x = jnp.where(bit, y, x)
+    return x
 
 
 def monomial_eval(plan: NttPlan, j: jax.Array):
