@@ -31,12 +31,32 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops import fused as fused_mod
 from ..ops import modmath as mm
 from ..ops import ntt as ntt_mod
 from ..ops import poly as pol
 from ..ops import rns as rns_mod
 from .params import Params
 from .scheme1 import EncryptedBit, LWE, RLWE, Ciphertext, SchemeContext
+
+# Fused-kernel dispatch: "auto" uses the Pallas kernel on TPU for the
+# deterministic path whenever the bootstrap key fits in VMEM; "never" forces
+# the jnp path; "interpret" runs the kernel in interpreter mode (CPU tests).
+import os
+
+FUSED_MODE = os.environ.get("SGFHE_FUSED", "auto")
+_FUSED_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _use_fused(params: Params, flat_key) -> tuple[bool, bool]:
+    """(enabled, interpret) for the current backend/mode."""
+    if flat_key is not None or FUSED_MODE == "never":
+        return False, False
+    if FUSED_MODE == "interpret":
+        return True, True
+    if fused_mod.fused_bkey_vmem_bytes(params) > _FUSED_VMEM_BUDGET:
+        return False, False
+    return jax.default_backend() == "tpu", False
 
 
 def _external_step(params: Params, ctx: SchemeContext, a_acc, b_acc, ck_hat,
@@ -95,6 +115,7 @@ def bootstrap_internal(
     bkey_shoup: jax.Array,
     a1: jax.Array, b1: jax.Array, a2: jax.Array, b2: jax.Array,
     flat_key=None,
+    fused: tuple[bool, bool] = (False, False),
 ):
     """Blind rotation core (reference src/fhe.jl:559-595), batched.
 
@@ -118,20 +139,31 @@ def bootstrap_internal(
     )
     a_acc = jnp.zeros((batch, L, m), dtype=jnp.uint32)
 
-    if flat_key is not None:
-        step_keys = jax.random.split(flat_key, n)
+    fused_on, fused_interp = fused
+    if fused_on and flat_key is None:
+        a_acc, b_acc = fused_mod.blind_rotate_fused(
+            params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc,
+            interpret=fused_interp,
+        )
     else:
-        step_keys = None
+        if flat_key is not None:
+            step_keys = jax.random.split(flat_key, n)
+        else:
+            step_keys = None
 
-    def body(k, carry):
-        a_acc, b_acc = carry
-        ck_hat = jax.lax.dynamic_index_in_dim(bkey_hat, k, 0, keepdims=False)
-        ck_shoup = jax.lax.dynamic_index_in_dim(bkey_shoup, k, 0, keepdims=False)
-        u_k = jax.lax.dynamic_index_in_dim(ua, k, 1, keepdims=False)  # (batch,)
-        fk = None if step_keys is None else step_keys[k]
-        return _external_step(params, ctx, a_acc, b_acc, ck_hat, ck_shoup, u_k, fk)
+        def body(k, carry):
+            a_acc, b_acc = carry
+            ck_hat = jax.lax.dynamic_index_in_dim(bkey_hat, k, 0, keepdims=False)
+            ck_shoup = jax.lax.dynamic_index_in_dim(
+                bkey_shoup, k, 0, keepdims=False
+            )
+            u_k = jax.lax.dynamic_index_in_dim(ua, k, 1, keepdims=False)
+            fk = None if step_keys is None else step_keys[k]
+            return _external_step(
+                params, ctx, a_acc, b_acc, ck_hat, ck_shoup, u_k, fk
+            )
 
-    a_acc, b_acc = jax.lax.fori_loop(0, n, body, (a_acc, b_acc))
+        a_acc, b_acc = jax.lax.fori_loop(0, n, body, (a_acc, b_acc))
 
     i_and = 3 * m // 4
     i_or = m // 4
@@ -155,7 +187,26 @@ def _reduce_lwe(params: Params, ctx: SchemeContext, lwe_q):
     return LWE(a_r, b_r)
 
 
-@partial(jax.jit, static_argnums=(0, 7))
+@partial(jax.jit, static_argnums=(0, 7, 8))
+def _bootstrap_batch_jit(
+    params: Params,
+    ctx: SchemeContext,
+    bkey_hat: jax.Array,
+    bkey_shoup: jax.Array,
+    lwe1: LWE,
+    lwe2: LWE,
+    flat_key=None,
+    randomized: bool = False,
+    fused: tuple[bool, bool] = (False, False),
+):
+    fk = flat_key if randomized else None
+    triple = bootstrap_internal(
+        params, ctx, bkey_hat, bkey_shoup, lwe1.a, lwe1.b, lwe2.a, lwe2.b, fk,
+        fused=fused,
+    )
+    return tuple(_reduce_lwe(params, ctx, t) for t in triple)
+
+
 def bootstrap_batch(
     params: Params,
     ctx: SchemeContext,
@@ -167,12 +218,15 @@ def bootstrap_batch(
     randomized: bool = False,
 ):
     """Batched gate bootstrap: returns (AND, OR, XOR) LWE batches mod r
-    (reference src/fhe.jl:608-621). One pass computes all three gates."""
-    fk = flat_key if randomized else None
-    triple = bootstrap_internal(
-        params, ctx, bkey_hat, bkey_shoup, lwe1.a, lwe1.b, lwe2.a, lwe2.b, fk
+    (reference src/fhe.jl:608-621). One pass computes all three gates.
+
+    Dispatches to the fused Pallas rotation kernel on TPU (deterministic
+    mode, VMEM-resident key); jnp fori-loop path otherwise."""
+    fused = _use_fused(params, flat_key if randomized else None)
+    return _bootstrap_batch_jit(
+        params, ctx, bkey_hat, bkey_shoup, lwe1, lwe2, flat_key, randomized,
+        fused,
     )
-    return tuple(_reduce_lwe(params, ctx, t) for t in triple)
 
 
 def bootstrap(params, ctx, bkey, enc_bit1: EncryptedBit, enc_bit2: EncryptedBit,
@@ -200,7 +254,7 @@ def bootstrap(params, ctx, bkey, enc_bit1: EncryptedBit, enc_bit2: EncryptedBit,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 5))
+@partial(jax.jit, static_argnums=(0, 5, 7))
 def pack_encrypted_bits_jit(
     params: Params,
     ctx: SchemeContext,
@@ -209,6 +263,7 @@ def pack_encrypted_bits_jit(
     enc_bits: LWE,
     randomized: bool = False,
     flat_key=None,
+    fused: tuple[bool, bool] = (False, False),
 ):
     """n EncryptedBits -> one RLWE over R_{m,r} (src/fhe.jl:660-696).
 
@@ -227,7 +282,7 @@ def pack_encrypted_bits_jit(
     fk = flat_key if randomized else None
     (a_q, b_q), _, _ = bootstrap_internal(
         params, ctx, bkey_hat, bkey_shoup, a_triv, b_triv, enc_bits.a,
-        enc_bits.b, fk,
+        enc_bits.b, fk, fused=fused,
     )
     # a_q: (n_gates, L, n_coeff); transpose so polynomial i collects
     # coefficient i of every gate's LWE (src/fhe.jl:675-678), then zero-pad
@@ -277,8 +332,9 @@ def _sum_mod(x, p):
 
 def pack_encrypted_bits(params, ctx, bkey, enc_bits: EncryptedBit,
                         flat_key=None) -> Ciphertext:
+    fused = _use_fused(params, flat_key)
     rlwe = pack_encrypted_bits_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, enc_bits.lwe,
-        flat_key is not None, flat_key,
+        flat_key is not None, flat_key, fused,
     )
     return Ciphertext(params, rlwe)

@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import fused as fused_mod
 from ..ops import modmath as mm
 from ..ops import ntt as ntt_mod
 from ..ops import poly as pol
@@ -47,6 +48,7 @@ class SchemeContext:
     tpoly_dq: jax.Array           # (L, m): t(x) * DQ~ residues (initial poly)
     tpoly_dq_hat: jax.Array       # (L, m): NTT of the above
     dq_tilde: jax.Array           # (L, 1): DQ~ mod p_i
+    fused: fused_mod.FusedTables  # roll-NTT tables for the Pallas hot path
 
 
 def make_context(params: Params) -> SchemeContext:
@@ -75,6 +77,7 @@ def make_context(params: Params) -> SchemeContext:
         tpoly_dq=tpoly,
         tpoly_dq_hat=ntt_mod.ntt_fwd(plan_Q, tpoly),
         dq_tilde=jnp.asarray(dqt),
+        fused=fused_mod.build_fused(plan_Q),
     )
 
 

@@ -23,10 +23,13 @@ the conditional-subtract idioms below and for lazy additions.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalar, NOT a jnp device array: these appear inside Pallas kernel
+# bodies, where captured device-array constants are not allowed.
+_MASK16 = np.uint32(0xFFFF)
 
 
 def mulhilo(a, b):

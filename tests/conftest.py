@@ -20,6 +20,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the big sharded/bootstrap programs dominate
+# suite time on small hosts; cache XLA binaries across runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert len(jax.devices()) >= 8, (
     "expected 8 virtual CPU devices; got " + repr(jax.devices())
 )
