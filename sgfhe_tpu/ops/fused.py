@@ -131,6 +131,57 @@ def ntt_inv_roll(x, post, post_s, inv, inv_s, lane, p, m: int):
     return mm.shoup_mul(x, post, post_s, p)
 
 
+_U32_LIMIT = (1 << 32) - 1
+
+
+def _ntt_fwd_lazy(x, pre, pre_s, fwd, fwd_s, lane, p, mu, p_max: int, m: int):
+    """Forward NTT with Harvey lazy reduction: input canonical (< p), output
+    congruent mod p with per-lane bound `c * p` (returned multiplier c).
+
+    Bound tracking: after the pre-twist every lane is < 2p; each stage at
+    worst doubles the e-lane bound, and o-lanes reset to < 2p (lazy Shoup
+    output). When the next stage would overflow u32, a Barrett reduction
+    resets the bound — at 21-bit primes (n=64) that never triggers; at
+    27-bit primes (n=512) it triggers every ~4 stages.
+    """
+    x = mm.shoup_mul_lazy(x, pre, pre_s, p)
+    c = 2
+    S = m.bit_length() - 1
+    for s in range(S):
+        h = m >> (s + 1)
+        if 2 * c * p_max > _U32_LIMIT:
+            x = mm.mod_u32(x, p, mu)
+            c = 1
+        e = x + _roll(x, -h)                              # < 2c p
+        arg = _roll(x, h) + jnp.uint32(c) * p - x         # ≡ u - v, < 2c p
+        o = mm.shoup_mul_lazy(arg, fwd[s], fwd_s[s], p)   # < 2p
+        is_u = (lane & jnp.int32(h)) == 0
+        x = jnp.where(is_u, e, o)
+        c = 2 * c
+    return x, c
+
+
+def _ntt_inv_lazy(x, post, post_s, inv, inv_s, lane, p, mu, c_in: int,
+                  p_max: int, m: int):
+    """Inverse NTT with lazy reduction; input bound c_in * p, output CANONICAL
+    (< p) — the caller feeds it straight into the next flatten."""
+    S = m.bit_length() - 1
+    c = c_in
+    for s in range(S):
+        h = 1 << s
+        if (c + 2) * p_max > _U32_LIMIT:
+            x = mm.mod_u32(x, p, mu)
+            c = 1
+        y = mm.shoup_mul_lazy(x, inv[s], inv_s[s], p)     # < 2p
+        lo = x + _roll(y, -h)                             # < (c+2) p
+        hi = _roll(x, h) + jnp.uint32(2) * p - y          # < (c+2) p
+        is_a = (lane & jnp.int32(h)) == 0
+        x = jnp.where(is_a, lo, hi)
+        c = c + 2
+    x = mm.shoup_mul_lazy(x, post, post_s, p)             # < 2p
+    return jnp.where(x >= p, x - p, x)
+
+
 def mono_mul_ladder(x, u, mono, mono_s, p):
     """x * x^u in the hat domain via the ψ-power bit ladder; u: (...,) uint32
     batch exponents matching x's leading axes (ops/ntt.monomial_mul_hat)."""
@@ -178,7 +229,7 @@ def _rotate_kernel(
     wval_ref, wshoup_ref,
     # outputs
     a_out_ref, b_out_ref,
-    *, n: int, l: int, L: int, m: int,
+    *, n: int, l: int, L: int, m: int, p_max: int,
 ):
     """Kernel-internal layout is limb-major (L, T, m): the minor two dims
     (T, m) fill whole sublane×lane tiles regardless of the limb count."""
@@ -195,7 +246,7 @@ def _rotate_kernel(
     wval, wshoup = wval_ref[:], wshoup_ref[:]    # (l, L, 1, 1)
 
     def step(k, carry):
-        a_acc, b_acc = carry  # (L, T, m)
+        a_acc, b_acc = carry  # (L, T, m), canonical residues
         ck = bk_ref[pl.ds(k, 1)][0]    # (2l, 2, L, m)
         cks = bks_ref[pl.ds(k, 1)][0]
         u_k = ua_ref[pl.ds(k, 1)][0]   # (T, 1)
@@ -203,30 +254,45 @@ def _rotate_kernel(
         da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L)
         db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L)
         digits = jnp.stack(da + db, axis=0)  # (2l, L, T, m)
-        d_hat = ntt_fwd_roll(digits, pre, pre_s, fwd, fwd_s, lane, p, m)
+        d_hat, _ = _ntt_fwd_lazy(
+            digits, pre, pre_s, fwd, fwd_s, lane, p, mu, p_max, m
+        )
 
         outs = []
         for c in range(2):
+            # lazy accumulation: each Shoup product < 2p, sums tracked below
             s_acc = None
             t_acc = None
             for row in range(2 * l):
-                prod = mm.shoup_mul(
+                prod = mm.shoup_mul_lazy(
                     d_hat[row], ck[row, c][:, None, :], cks[row, c][:, None, :],
                     p,
                 )
-                s_acc = prod if s_acc is None else mm.addmod(s_acc, prod, p)
+                s_acc = prod if s_acc is None else s_acc + prod
             for i in range(l):
                 row = i if c == 0 else l + i
-                wprod = mm.shoup_mul(d_hat[row], wval[i], wshoup[i], p)
-                t_acc = wprod if t_acc is None else mm.addmod(t_acc, wprod, p)
-            # monomial bit-ladder: multiply by x^{u_k} in the hat domain
+                wprod = mm.shoup_mul_lazy(d_hat[row], wval[i], wshoup[i], p)
+                t_acc = wprod if t_acc is None else t_acc + wprod
+            cs = ct = 2 * (2 * l)  # bound multipliers (in units of p)
+            if (2 * cs + ct) * p_max > _U32_LIMIT:
+                s_acc = mm.mod_u32(s_acc, p, mu)
+                t_acc = mm.mod_u32(t_acc, p, mu)
+                cs = ct = 1
+            # monomial bit-ladder: rot = x^{u_k} * s_acc (bound stays cs*p:
+            # multiplied lanes drop under 2p <= cs*p, others keep cs*p)
             rot = s_acc
             for b in range(mono.shape[0]):
-                y = mm.shoup_mul(rot, mono[b], mono_s[b], p)
+                y = mm.shoup_mul_lazy(rot, mono[b], mono_s[b], p)
                 bit = ((u_k >> b) & jnp.uint32(1)).astype(jnp.bool_)[None]
                 rot = jnp.where(bit, y, rot)  # (1, T, 1) vs (L, T, m)
-            val = mm.addmod(mm.submod(rot, s_acc, p), t_acc, p)
-            outs.append(ntt_inv_roll(val, post, post_s, inv, inv_s, lane, p, m))
+            # val = rot - s_acc + t_acc, kept nonnegative via +cs*p
+            val = rot + (jnp.uint32(cs) * p - s_acc) + t_acc
+            outs.append(
+                _ntt_inv_lazy(
+                    val, post, post_s, inv, inv_s, lane, p, mu,
+                    2 * cs + ct, p_max, m,
+                )
+            )
         return outs[0], outs[1]
 
     a0 = jnp.transpose(a0_ref[:], (1, 0, 2))  # (T, L, m) -> (L, T, m)
@@ -270,9 +336,8 @@ def blind_rotate_fused(
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
-    S = ft.fwd_full.shape[0]
-    nbits = plan.mono_pow.shape[0]
-    kernel = partial(_rotate_kernel, n=n, l=l, L=L, m=m)
+    p_max = max(params.moduli)
+    kernel = partial(_rotate_kernel, n=n, l=l, L=L, m=m, p_max=p_max)
     out_shape = [
         jax.ShapeDtypeStruct((padded, L, m), jnp.uint32),
         jax.ShapeDtypeStruct((padded, L, m), jnp.uint32),

@@ -99,6 +99,15 @@ def shoup_mul(a, w, w_shoup, p):
     return jnp.where(r >= p, r - p, r)
 
 
+def shoup_mul_lazy(a, w, w_shoup, p):
+    """Shoup multiply WITHOUT the final conditional subtract: returns a value
+    congruent to a*w mod p in [0, 2p). Harvey-style lazy reduction for hot
+    loops where the consumer tolerates non-canonical residues (any u32 input
+    is fine for a further shoup multiply)."""
+    q = mulhi(a, w_shoup)
+    return a * w - q * p
+
+
 def embed_signed(x, p, mu, r_mod_p):
     """Residue of a signed int32 array mod p (any p < 2^31).
 

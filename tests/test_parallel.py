@@ -29,7 +29,7 @@ def setup64():
 def test_sharded_bootstrap_matches_single(setup64):
     params, ctx, sk, bkey = setup64
     assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
-    mesh = mesh_mod.make_mesh(dp=4, tp=2)
+    mesh = mesh_mod.make_mesh(dp=2, tp=2)
 
     msg = np.asarray(jax.random.bernoulli(jax.random.key(56), 0.5, (params.n,)))
     ct = F.encrypt(sk, jax.random.key(57), jnp.asarray(msg))
@@ -46,7 +46,7 @@ def test_sharded_bootstrap_matches_single(setup64):
 
 def test_sharded_pack_matches_single(setup64):
     params, ctx, sk, bkey = setup64
-    mesh = mesh_mod.make_mesh(dp=4, tp=2)
+    mesh = mesh_mod.make_mesh(dp=2, tp=2)
     msg = np.asarray(jax.random.bernoulli(jax.random.key(58), 0.5, (params.n,)))
     ct = F.encrypt(sk, jax.random.key(59), jnp.asarray(msg))
     bits = F.split_ciphertext(ct)
@@ -73,7 +73,7 @@ def test_dist_ntt_polymul_matches_local():
         mods.append(q)
         start = q + 1
     moduli = tuple(mods)
-    mesh = mesh_mod.make_mesh(dp=2, tp=4)
+    mesh = mesh_mod.make_mesh(dp=2, tp=2)
 
     local_plan = ntt_mod.build_plan(moduli, m)
     dist_plan = ntt_dist.build_dist_plan(moduli, m1, m2)
