@@ -10,6 +10,7 @@ stderr (BASELINE.md row 2).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -72,6 +73,13 @@ def main():
     print(f"device: {dev}", file=sys.stderr)
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     gates_per_sec, dt = bench_gates(batch=batch)
+    if os.environ.get("SGFHE_BENCH_512"):
+        gps512, dt512 = bench_gates(batch=64, n=512, iters=3)
+        print(
+            f"bootstrap n=512: 64 gates in {dt512*1000:.1f} ms -> "
+            f"{gps512:.1f} gates/s",
+            file=sys.stderr,
+        )
     print(
         f"bootstrap: {batch} gates in {dt*1000:.1f} ms -> {gates_per_sec:.1f} gates/s",
         file=sys.stderr,

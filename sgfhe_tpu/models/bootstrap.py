@@ -48,15 +48,27 @@ FUSED_MODE = os.environ.get("SGFHE_FUSED", "auto")
 _FUSED_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _use_fused(params: Params, flat_key) -> tuple[bool, bool]:
-    """(enabled, interpret) for the current backend/mode."""
+def _use_fused(params: Params, flat_key) -> tuple[str, bool]:
+    """(kernel, interpret): kernel is 'none' (jnp path), 'resident' (key in
+    VMEM for the whole rotation) or 'streamed' (key double-buffered from HBM
+    — any size). Randomized flattening always takes the jnp path."""
     if flat_key is not None or FUSED_MODE == "never":
-        return False, False
+        return "none", False
+    resident_ok = fused_mod.fused_bkey_vmem_bytes(params) <= _FUSED_VMEM_BUDGET
+    if resident_ok:
+        kernel = "resident"
+    elif params.m <= 2048:
+        kernel = "streamed"
+    else:
+        # Mosaic compile time degrades badly at m >= 4096 (large-roll
+        # relayouts); the jnp fori-loop path is used there until the kernel
+        # is restructured for big m.
+        kernel = "none"
     if FUSED_MODE == "interpret":
-        return True, True
-    if fused_mod.fused_bkey_vmem_bytes(params) > _FUSED_VMEM_BUDGET:
-        return False, False
-    return jax.default_backend() == "tpu", False
+        return kernel if kernel != "none" else "streamed", True
+    if FUSED_MODE in ("resident", "streamed"):
+        kernel = FUSED_MODE
+    return (kernel if jax.default_backend() == "tpu" else "none"), False
 
 
 def _external_step(params: Params, ctx: SchemeContext, a_acc, b_acc, ck_hat,
@@ -115,7 +127,7 @@ def bootstrap_internal(
     bkey_shoup: jax.Array,
     a1: jax.Array, b1: jax.Array, a2: jax.Array, b2: jax.Array,
     flat_key=None,
-    fused: tuple[bool, bool] = (False, False),
+    fused: tuple[str, bool] = ("none", False),
 ):
     """Blind rotation core (reference src/fhe.jl:559-595), batched.
 
@@ -139,9 +151,14 @@ def bootstrap_internal(
     )
     a_acc = jnp.zeros((batch, L, m), dtype=jnp.uint32)
 
-    fused_on, fused_interp = fused
-    if fused_on and flat_key is None:
+    fused_kernel, fused_interp = fused
+    if fused_kernel == "resident" and flat_key is None:
         a_acc, b_acc = fused_mod.blind_rotate_fused(
+            params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc,
+            interpret=fused_interp,
+        )
+    elif fused_kernel == "streamed" and flat_key is None:
+        a_acc, b_acc = fused_mod.blind_rotate_streamed(
             params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc,
             interpret=fused_interp,
         )
@@ -197,7 +214,7 @@ def _bootstrap_batch_jit(
     lwe2: LWE,
     flat_key=None,
     randomized: bool = False,
-    fused: tuple[bool, bool] = (False, False),
+    fused: tuple[str, bool] = ("none", False),
 ):
     fk = flat_key if randomized else None
     triple = bootstrap_internal(
@@ -263,7 +280,7 @@ def pack_encrypted_bits_jit(
     enc_bits: LWE,
     randomized: bool = False,
     flat_key=None,
-    fused: tuple[bool, bool] = (False, False),
+    fused: tuple[str, bool] = ("none", False),
 ):
     """n EncryptedBits -> one RLWE over R_{m,r} (src/fhe.jl:660-696).
 

@@ -302,6 +302,173 @@ def _rotate_kernel(
     b_out_ref[:] = jnp.transpose(b_acc, (1, 0, 2))
 
 
+def _rotate_step_kernel(
+    # inputs
+    ua_ref, a0_ref, b0_ref, bk_ref, bks_ref,
+    pre_ref, pre_s_ref, post_ref, post_s_ref,
+    fwd_ref, fwd_s_ref, inv_ref, inv_s_ref, lane_ref,
+    mono_ref, mono_s_ref,
+    p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
+    wval_ref, wshoup_ref,
+    # outputs (revisited across the k grid axis — the rotation accumulator)
+    a_out_ref, b_out_ref,
+    *, n: int, l: int, L: int, m: int, p_max: int,
+):
+    """One blind-rotation step per grid point (t, k): the key-index axis k is
+    a GRID dimension, so Pallas streams the (1, 2l, 2, L, m) bootstrap-key
+    slice for step k from HBM into VMEM with automatic double-buffering —
+    this is how n=512 (≈600 MB key) runs with a ~2.3 MB VMEM key footprint.
+    The accumulator lives in the revisited output blocks (limb-major
+    (L, T, m)), which stay VMEM-resident for all n steps of a tile."""
+    k = pl.program_id(1)
+    p = p_ref[:]
+    mu = mu_ref[:]
+
+    @pl.when(k == 0)
+    def _init():
+        a_out_ref[:] = a0_ref[:]
+        b_out_ref[:] = b0_ref[:]
+
+    a_acc = a_out_ref[:]
+    b_acc = b_out_ref[:]
+    ck = bk_ref[0]    # (2l, 2, L, m) — this step's key slice
+    cks = bks_ref[0]
+    u_k = ua_ref[0]   # (T, 1)
+    ipj, ipj_s = ipj_ref[:], ipj_s_ref[:]
+    smod, off = smod_ref[:], off_ref[:]
+
+    da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L)
+    db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L)
+    digits = jnp.stack(da + db, axis=0)  # (2l, L, T, m)
+    lane = lane_ref[:]
+    d_hat, _ = _ntt_fwd_lazy(
+        digits, pre_ref[:], pre_s_ref[:], fwd_ref[:], fwd_s_ref[:], lane, p,
+        mu, p_max, m,
+    )
+
+    wval, wshoup = wval_ref[:], wshoup_ref[:]
+    mono, mono_s = mono_ref[:], mono_s_ref[:]
+    outs = []
+    for c in range(2):
+        s_acc = None
+        t_acc = None
+        for row in range(2 * l):
+            prod = mm.shoup_mul_lazy(
+                d_hat[row], ck[row, c][:, None, :], cks[row, c][:, None, :], p
+            )
+            s_acc = prod if s_acc is None else s_acc + prod
+        for i in range(l):
+            row = i if c == 0 else l + i
+            wprod = mm.shoup_mul_lazy(d_hat[row], wval[i], wshoup[i], p)
+            t_acc = wprod if t_acc is None else t_acc + wprod
+        cs = ct = 2 * (2 * l)
+        if (2 * cs + ct) * p_max > _U32_LIMIT:
+            s_acc = mm.mod_u32(s_acc, p, mu)
+            t_acc = mm.mod_u32(t_acc, p, mu)
+            cs = ct = 1
+        rot = s_acc
+        for b in range(mono.shape[0]):
+            y = mm.shoup_mul_lazy(rot, mono[b], mono_s[b], p)
+            bit = ((u_k >> b) & jnp.uint32(1)).astype(jnp.bool_)[None]
+            rot = jnp.where(bit, y, rot)
+        val = rot + (jnp.uint32(cs) * p - s_acc) + t_acc
+        outs.append(
+            _ntt_inv_lazy(
+                val, post_ref[:], post_s_ref[:], inv_ref[:], inv_s_ref[:],
+                lane, p, mu, 2 * cs + ct, p_max, m,
+            )
+        )
+    a_out_ref[:] = outs[0]
+    b_out_ref[:] = outs[1]
+
+
+def blind_rotate_streamed(
+    params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
+    tile: int = 32, interpret: bool = False,
+):
+    """Blind rotation with the bootstrap key STREAMED from HBM (grid axis over
+    key steps, Pallas double-buffers the per-step slice). Works at any n —
+    used when the key exceeds the VMEM budget (e.g. Params(512), ~600 MB).
+
+    ua: (B, n); a0, b0: (B, L, m). Returns (a_acc, b_acc) (B, L, m)."""
+    n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
+    plan = ctx.plan_Q
+    rns = ctx.rns
+    ft = ctx.fused
+    B = ua.shape[0]
+    tile = min(tile, max(8, B))
+    padded = ((B + tile - 1) // tile) * tile
+    if padded != B:
+        padB = padded - B
+        ua = jnp.pad(ua, ((0, padB), (0, 0)))
+        a0 = jnp.pad(a0, ((0, padB), (0, 0), (0, 0)))
+        b0 = jnp.pad(b0, ((0, padB), (0, 0), (0, 0)))
+    num_tiles = padded // tile
+    # limb-major accumulator layout (L, B, m): minor dims (T, m) fully tiled
+    a0_lm = jnp.transpose(a0, (1, 0, 2))
+    b0_lm = jnp.transpose(b0, (1, 0, 2))
+
+    def acc_spec():
+        return pl.BlockSpec(
+            (L, tile, m), lambda t, k: (0, t, 0), memory_space=pltpu.VMEM
+        )
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+
+    p_max = max(params.moduli)
+    kernel = partial(_rotate_step_kernel, n=n, l=l, L=L, m=m, p_max=p_max)
+    out_shape = [
+        jax.ShapeDtypeStruct((L, padded, m), jnp.uint32),
+        jax.ShapeDtypeStruct((L, padded, m), jnp.uint32),
+    ]
+    in_specs = [
+        pl.BlockSpec(
+            (1, tile, 1), lambda t, k: (k, t, 0), memory_space=pltpu.VMEM
+        ),              # ua (n, B, 1): step exponents
+        acc_spec(),     # a0
+        acc_spec(),     # b0
+        pl.BlockSpec(
+            (1,) + bkey_hat.shape[1:], lambda t, k: (k, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),              # bkey slice for step k (streamed)
+        pl.BlockSpec(
+            (1,) + bkey_shoup.shape[1:], lambda t, k: (k, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + [full()] * 19
+    out_specs = [acc_spec(), acc_spec()]
+
+    a_lm, b_lm = pl.pallas_call(
+        kernel,
+        grid=(num_tiles, n),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(
+        ua.T[:, :, None], a0_lm, b0_lm, bkey_hat, bkey_shoup,
+        plan.pre_tw[:, None, :], plan.pre_tw_s[:, None, :],
+        plan.post_tw[:, None, :], plan.post_tw_s[:, None, :],
+        ft.fwd_full[:, :, None, :], ft.fwd_full_s[:, :, None, :],
+        ft.inv_full[:, :, None, :], ft.inv_full_s[:, :, None, :],
+        ft.lane,
+        plan.mono_pow[:, :, None, :], plan.mono_pow_s[:, :, None, :],
+        plan.p[:, :, None], plan.mu[:, :, None],
+        rns.inv_pj_val, rns.inv_pj_shoup,
+        rns.s_mod[:, :, :, None], rns.offset[:, :, None],
+        rns.w_val[:, :, :, None], rns.w_shoup[:, :, :, None],
+    )
+    a_acc = jnp.transpose(a_lm, (1, 0, 2))
+    b_acc = jnp.transpose(b_lm, (1, 0, 2))
+    if padded != B:
+        a_acc = a_acc[:B]
+        b_acc = b_acc[:B]
+    return a_acc, b_acc
+
+
 def blind_rotate_fused(
     params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
     tile: int = 64, interpret: bool = False,

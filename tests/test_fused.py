@@ -57,12 +57,19 @@ def test_fused_rotation_matches_jnp(setup64):
     b1, b2 = a1[:, 3], a2[:, 5]
     ref = bs.bootstrap_internal(
         params, ctx, bkey.hat, bkey.hat_shoup, a1, b1, a2, b2, None,
-        fused=(False, False),
+        fused=("none", False),
     )
     got = bs.bootstrap_internal(
         params, ctx, bkey.hat, bkey.hat_shoup, a1, b1, a2, b2, None,
-        fused=(True, True),  # Pallas kernel, interpreter mode
+        fused=("resident", True),  # Pallas kernel, interpreter mode
     )
     for (ra, rb), (ga, gb) in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
+        np.testing.assert_array_equal(np.asarray(rb), np.asarray(gb))
+    got_s = bs.bootstrap_internal(
+        params, ctx, bkey.hat, bkey.hat_shoup, a1, b1, a2, b2, None,
+        fused=("streamed", True),  # HBM-streamed key variant
+    )
+    for (ra, rb), (ga, gb) in zip(ref, got_s):
         np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
         np.testing.assert_array_equal(np.asarray(rb), np.asarray(gb))
