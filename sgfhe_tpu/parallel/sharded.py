@@ -128,3 +128,57 @@ def pack_encrypted_bits_sharded(params: Params, ctx: SchemeContext, bkey,
     idx = jnp.arange(n, dtype=jnp.int32)
     w_r, v_r = run(bkey.hat, bkey.hat_shoup, ctx, (enc_bits.a, enc_bits.b), idx)
     return Ciphertext(params, RLWE(w_r, v_r))
+
+
+# ---------------------------------------------------------------------------
+# Scheme-2 sharded batch encryption/decryption (BASELINE config 5: the k-bit
+# variant distributed over a mesh — the reference is single-process,
+# SURVEY.md §2.4; here message blocks shard over every mesh axis)
+# ---------------------------------------------------------------------------
+
+
+def scheme2_encrypt_batch_sharded(sk2, keys, messages, mesh):
+    """Private-key encrypt a batch of scheme-2 message blocks, sharded.
+
+    keys: (B,) PRNG keys; messages: (B, n) ints in [0, 2^k).
+    Returns (a, b) with leading batch axis, sharded over ('dp','tp')."""
+    from ..models import scheme2 as s2
+
+    params2 = sk2.params
+    spec_b = P(("dp", "tp"))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), spec_b, spec_b),
+        out_specs=(spec_b, spec_b),
+        check_vma=False,
+    )
+    def run(s_bits, keys_, msgs_):
+        sk = s2.PrivateKey(params2, s_bits)
+        return jax.vmap(lambda kk, msg: s2._encrypt_private(sk, kk, msg))(
+            keys_, msgs_
+        )
+
+    return run(sk2.key, keys, messages)
+
+
+def scheme2_decrypt_batch_sharded(sk2, a, b, mesh):
+    """Decrypt a sharded batch of scheme-2 ciphertexts -> (B, n) digits."""
+    from ..models import scheme2 as s2
+
+    params2 = sk2.params
+    spec_b = P(("dp", "tp"))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), spec_b, spec_b),
+        out_specs=spec_b,
+        check_vma=False,
+    )
+    def run(s_bits, a_, b_):
+        sk = s2.PrivateKey(params2, s_bits)
+        return jax.vmap(lambda aa, bb: s2.decrypt(sk, aa, bb))(a_, b_)
+
+    return run(sk2.key, a, b)

@@ -19,6 +19,7 @@ import json
 import numpy as np
 import jax.numpy as jnp
 
+from . import native
 from .models.params import Params
 from .models import scheme1 as s1
 from .models import scheme2 as s2
@@ -35,14 +36,12 @@ def private_ciphertext_to_bytes(ct: s1.PrivateEncryptedCiphertext) -> bytes:
     u = np.asarray(ct.u).astype(np.uint8)
     v = np.asarray(ct.v).astype(np.uint8)
     bits = np.concatenate([u.reshape(-1), v.reshape(-1)])
-    return np.packbits(bits, bitorder="little").tobytes()
+    return native.packbits(bits)  # C++ codec; numpy fallback inside
 
 
 def private_ciphertext_from_bytes(params: Params, raw: bytes):
     n = params.n
-    bits = np.unpackbits(
-        np.frombuffer(raw, dtype=np.uint8), count=6 * n, bitorder="little"
-    )
+    bits = native.unpackbits(raw, 6 * n)
     u = bits[:n]
     v = bits[n:].reshape(5, n)
     return s1.PrivateEncryptedCiphertext(params, jnp.asarray(u), jnp.asarray(v))
@@ -52,15 +51,13 @@ def public_ciphertext_to_bytes(ct: s1.PublicEncryptedCiphertext) -> bytes:
     a = np.asarray(ct.a_bits).astype(np.uint8)
     b = np.asarray(ct.b_bits).astype(np.uint8)
     bits = np.concatenate([a.reshape(-1), b.reshape(-1)])
-    return np.packbits(bits, bitorder="little").tobytes()
+    return native.packbits(bits)
 
 
 def public_ciphertext_from_bytes(params: Params, raw: bytes):
     n = params.n
     count = (params.t + 1) * n + 6 * n
-    bits = np.unpackbits(
-        np.frombuffer(raw, dtype=np.uint8), count=count, bitorder="little"
-    )
+    bits = native.unpackbits(raw, count)
     a = bits[: (params.t + 1) * n].reshape(params.t + 1, n)
     b = bits[(params.t + 1) * n :].reshape(6, n)
     return s1.PublicEncryptedCiphertext(params, jnp.asarray(a), jnp.asarray(b))

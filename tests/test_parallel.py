@@ -88,3 +88,27 @@ def test_dist_ntt_polymul_matches_local():
     b3 = jnp.asarray(b.reshape(len(moduli), m1, m2))
     got = np.asarray(run(a3, b3)).reshape(len(moduli), m)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_scheme2_sharded_batch_roundtrip():
+    """BASELINE config 5: scheme-2 encrypt/decrypt batch sharded over the
+    mesh matches plaintext (and the unsharded path bit-for-bit)."""
+    from sgfhe_tpu.models import scheme2 as s2
+
+    params2 = s2.Params.create(1)
+    sk2 = s2.PrivateKey.create(params2, jax.random.key(60))
+    mesh = mesh_mod.make_mesh(dp=2, tp=2)
+    B = 8
+    keys = jax.random.split(jax.random.key(61), B)
+    msgs = jax.random.randint(
+        jax.random.key(62), (B, params2.n), 0, 2**params2.k, dtype=jnp.int32
+    ).astype(jnp.uint32)
+
+    a, b = sharded.scheme2_encrypt_batch_sharded(sk2, keys, msgs, mesh)
+    dec = sharded.scheme2_decrypt_batch_sharded(sk2, a, b, mesh)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(msgs))
+
+    # bit-exact vs the unsharded path (same keys)
+    a0, b0 = s2._encrypt_private(sk2, keys[0], msgs[0])
+    np.testing.assert_array_equal(np.asarray(a)[0], np.asarray(a0))
+    np.testing.assert_array_equal(np.asarray(b)[0], np.asarray(b0))
