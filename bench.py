@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_gates(batch=1024, n=64, iters=5):
+def bench_gates(batch=4096, n=64, iters=5):
     import sgfhe_tpu as F
 
     params = F.Params.create(n)
@@ -71,7 +71,7 @@ def bench_ntt(n_poly, batch=4096, iters=10):
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     gates_per_sec, dt = bench_gates(batch=batch)
     if os.environ.get("SGFHE_BENCH_512"):
         gps512, dt512 = bench_gates(batch=64, n=512, iters=3)

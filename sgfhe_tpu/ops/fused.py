@@ -469,9 +469,31 @@ def blind_rotate_streamed(
     return a_acc, b_acc
 
 
+import os as _os
+
+_TILE_ENV = _os.environ.get("SGFHE_TILE")
+
+
+def _auto_tile(params, default: int) -> int:
+    """Batch-tile size for the resident kernel. The per-tile VMEM working set
+    (digits + d_hat + accumulators, ~14 arrays of (L, tile, m) u32) must stay
+    under the ~16 MB scoped-vmem stack limit alongside the resident key, so
+    cap tile so that 16 * L * tile * m * 4 bytes <= 4 MB (measured: tile=64
+    at L=3, m=512 trips the limit at large batch counts; tile=32 is within
+    1% of its throughput and always fits)."""
+    if _TILE_ENV:
+        return int(_TILE_ENV)
+    L, m = params.num_limbs, params.m
+    cap = (4 * 1024 * 1024) // (16 * L * m * 4)
+    t = 8
+    while t * 2 <= min(default, max(8, cap)):
+        t *= 2
+    return t
+
+
 def blind_rotate_fused(
     params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
-    tile: int = 64, interpret: bool = False,
+    tile: int | None = None, interpret: bool = False,
 ):
     """Run the full n-step blind rotation on a gate batch with one Pallas
     kernel launch (grid over batch tiles; bootstrap key VMEM-resident).
@@ -484,6 +506,8 @@ def blind_rotate_fused(
     rns = ctx.rns
     ft = ctx.fused
     B = ua.shape[0]
+    if tile is None:
+        tile = _auto_tile(params, 64)
     tile = min(tile, max(8, B))
     padded = ((B + tile - 1) // tile) * tile
     if padded != B:

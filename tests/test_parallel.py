@@ -34,8 +34,10 @@ def test_sharded_bootstrap_matches_single(setup64):
     msg = np.asarray(jax.random.bernoulli(jax.random.key(56), 0.5, (params.n,)))
     ct = F.encrypt(sk, jax.random.key(57), jnp.asarray(msg))
     bits = F.split_ciphertext(ct)
-    lwe1 = F.LWE(bits.lwe.a[0::2], bits.lwe.b[0::2])
-    lwe2 = F.LWE(bits.lwe.a[1::2], bits.lwe.b[1::2])
+    # 8 gates (divisible by dp=2) keep the CPU runtime small; correctness is
+    # per-gate so the count doesn't matter
+    lwe1 = F.LWE(bits.lwe.a[0:16:2], bits.lwe.b[0:16:2])
+    lwe2 = F.LWE(bits.lwe.a[1:16:2], bits.lwe.b[1:16:2])
 
     single = F.bootstrap_batch(params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2)
     multi = sharded.bootstrap_batch_sharded(params, ctx, bkey, lwe1, lwe2, mesh)
@@ -44,6 +46,7 @@ def test_sharded_bootstrap_matches_single(setup64):
         np.testing.assert_array_equal(np.asarray(s.b), np.asarray(m_.b))
 
 
+@pytest.mark.slow  # ~5 min on CPU: two full n=64 packs (compile + run)
 def test_sharded_pack_matches_single(setup64):
     params, ctx, sk, bkey = setup64
     mesh = mesh_mod.make_mesh(dp=2, tp=2)
@@ -62,6 +65,7 @@ def test_sharded_pack_matches_single(setup64):
     assert (np.asarray(F.decrypt(sk, multi)) == msg).all()
 
 
+@pytest.mark.slow  # shard_map compile on the 8-device CPU mesh dominates
 def test_dist_ntt_polymul_matches_local():
     """Four-step distributed negacyclic polymul == single-device NTT polymul."""
     m1, m2 = 16, 32
