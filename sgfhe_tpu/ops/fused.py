@@ -384,7 +384,7 @@ def _rotate_step_kernel(
 
 def blind_rotate_streamed(
     params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
-    tile: int = 32, interpret: bool = False,
+    tile: int | None = None, interpret: bool = False,
 ):
     """Blind rotation with the bootstrap key STREAMED from HBM (grid axis over
     key steps, Pallas double-buffers the per-step slice). Works at any n —
@@ -396,6 +396,8 @@ def blind_rotate_streamed(
     rns = ctx.rns
     ft = ctx.fused
     B = ua.shape[0]
+    if tile is None:
+        tile = _auto_tile(params, 32)
     tile = min(tile, max(8, B))
     padded = ((B + tile - 1) // tile) * tile
     if padded != B:
