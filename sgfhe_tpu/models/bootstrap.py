@@ -55,15 +55,7 @@ def _use_fused(params: Params, flat_key) -> tuple[str, bool]:
     if flat_key is not None or FUSED_MODE == "never":
         return "none", False
     resident_ok = fused_mod.fused_bkey_vmem_bytes(params) <= _FUSED_VMEM_BUDGET
-    if resident_ok:
-        kernel = "resident"
-    elif params.m <= 2048:
-        kernel = "streamed"
-    else:
-        # Mosaic compile time degrades badly at m >= 4096 (large-roll
-        # relayouts); the jnp fori-loop path is used there until the kernel
-        # is restructured for big m.
-        kernel = "none"
+    kernel = "resident" if resident_ok else "streamed"
     if FUSED_MODE == "interpret":
         return kernel if kernel != "none" else "streamed", True
     if FUSED_MODE in ("resident", "streamed"):
@@ -198,9 +190,10 @@ def _reduce_lwe(params: Params, ctx: SchemeContext, lwe_q):
     """Modulus switch Q -> r on an RNS LWE (reference src/fhe.jl:616-618 via
     src/utils.jl:120-127)."""
     a_q, b_q = lwe_q
-    mask = params.mask_r
-    a_r = rns_mod.rescale_round(ctx.rns, a_q, mask)          # (batch, n)
-    b_r = rns_mod.rescale_round(ctx.rns, b_q[..., None], mask)[..., 0]
+    a_r = rns_mod.rescale_exact(ctx.rns, a_q, params.r, params.moduli)
+    b_r = rns_mod.rescale_exact(
+        ctx.rns, b_q[..., None], params.r, params.moduli
+    )[..., 0]
     return LWE(a_r, b_r)
 
 
@@ -296,10 +289,17 @@ def pack_encrypted_bits_jit(
     a_triv = jnp.zeros((n, n), dtype=jnp.uint32)
     b_triv = jnp.full((n,), params.Dr, dtype=jnp.uint32)
 
-    fk = flat_key if randomized else None
+    # PRNG hygiene: the bootstrap consumes flat_key by splitting it into
+    # per-step keys, so the pack-stage flatten must use a DISJOINT subkey —
+    # never the parent key again (the reference's sequential rng stream
+    # naturally never reuses state, src/fhe.jl:660-683).
+    if randomized:
+        fk_boot, fk_pack = jax.random.split(flat_key)
+    else:
+        fk_boot = fk_pack = None
     (a_q, b_q), _, _ = bootstrap_internal(
         params, ctx, bkey_hat, bkey_shoup, a_triv, b_triv, enc_bits.a,
-        enc_bits.b, fk, fused=fused,
+        enc_bits.b, fk_boot, fused=fused,
     )
     # a_q: (n_gates, L, n_coeff); transpose so polynomial i collects
     # coefficient i of every gate's LWE (src/fhe.jl:675-678), then zero-pad
@@ -307,10 +307,10 @@ def pack_encrypted_bits_jit(
     b_poly = pol.resize(jnp.transpose(b_q, (1, 0)), m)       # (L, m)
 
     # shortened external products against rows l..2l-1 (src/fhe.jl:632-641)
-    if fk is None:
+    if fk_pack is None:
         d = rns_mod.flatten(rns, as_polys)  # (n, l, L, m)
     else:
-        d = rns_mod.flatten_random(rns, as_polys, flat_key, params.moduli)
+        d = rns_mod.flatten_random(rns, as_polys, fk_pack, params.moduli)
     d_hat = ntt_mod.ntt_fwd(plan, d)
     acc = [None, None]
     for c in range(2):
@@ -329,9 +329,8 @@ def pack_encrypted_bits_jit(
     w1 = mm.negmod(w_tilde, p)
     v1 = mm.submod(b_poly, v_tilde, p)
 
-    mask = params.mask_r
-    w_r = rns_mod.rescale_round(rns, w1, mask)
-    v_r = rns_mod.rescale_round(rns, v1, mask)
+    w_r = rns_mod.rescale_exact(rns, w1, params.r, params.moduli)
+    v_r = rns_mod.rescale_exact(rns, v1, params.r, params.moduli)
     return RLWE(w_r, v_r)
 
 

@@ -48,14 +48,14 @@ class SchemeContext:
     tpoly_dq: jax.Array           # (L, m): t(x) * DQ~ residues (initial poly)
     tpoly_dq_hat: jax.Array       # (L, m): NTT of the above
     dq_tilde: jax.Array           # (L, 1): DQ~ mod p_i
-    fused: fused_mod.FusedTables  # roll-NTT tables for the Pallas hot path
+    fused: fused_mod.FusedTables  # tiled-NTT tables for the Pallas hot path
 
 
 def make_context(params: Params) -> SchemeContext:
     plan_Q = ntt_mod.build_plan(params.moduli, params.m)
     plan_q = ntt_mod.build_plan((params.q,), params.n)
     host = rns_mod.build_context(params.moduli)
-    rctx = host.device_context(new_max=params.r)
+    rctx = host.device_context()
     # initial poly t(x) = sum_{j=-(Dr-1)}^{Dr-1} x^j (reference
     # src/fhe.jl:535-548), scaled by DQ~ = Q // 8
     Q = params.Q
@@ -70,12 +70,15 @@ def make_context(params: Params) -> SchemeContext:
         coeffs[li, m - params.Dr + 1 : m] = neg
     dqt = np.array([DQt % p for p in params.moduli], dtype=np.uint32).reshape(L, 1)
     tpoly = jnp.asarray(coeffs)
+    # jit the one-off transform: eagerly it dispatches ~20 ops per stage with
+    # a fresh mini-compile each (minutes at m=4096); jitted it is one compile
+    tpoly_hat = jax.jit(ntt_mod.ntt_fwd)(plan_Q, tpoly)
     return SchemeContext(
         plan_Q=plan_Q,
         plan_q=plan_q,
         rns=rctx,
         tpoly_dq=tpoly,
-        tpoly_dq_hat=ntt_mod.ntt_fwd(plan_Q, tpoly),
+        tpoly_dq_hat=tpoly_hat,
         dq_tilde=jnp.asarray(dqt),
         fused=fused_mod.build_fused(plan_Q),
     )
@@ -376,10 +379,16 @@ def _encrypt_public_kernel(params: Params, ctx: SchemeContext, pk_k0, pk_k1,
     )
     a2 = mm.addmod(a2, msg_dq, q)
 
-    # modulus switch q -> r (exact): a rounds to r, b floors to top-6-bit grid
-    a = mm.rescale(params.r, a1, params.q, True)
+    # modulus switch q -> r (exact): a rounds to r, b floors to top-6-bit
+    # grid. mm.rescale's int32 fixup needs q < 2^28; larger q (n >= 4096,
+    # the reference's UInt128 regime) takes the multi-limb exact path.
     new_max_b = params.r // (1 << (params.t - 5))
-    b = mm.rescale(new_max_b, a2, params.q, False)
+    if params.q < (1 << 28):
+        a = mm.rescale(params.r, a1, params.q, True)
+        b = mm.rescale(new_max_b, a2, params.q, False)
+    else:
+        a = rns_mod.rescale_wide(params.r, a1, params.q, True)
+        b = rns_mod.rescale_wide(new_max_b, a2, params.q, False)
     b = b << (params.t - 5)
     return a, b
 

@@ -132,8 +132,8 @@ def make_context(params: Params) -> Scheme2Context:
     return Scheme2Context(
         plan_Q=plan_Q,
         plan_q=plan_q,
-        rns_Q=host_Q.device_context(new_max=params.r),
-        rns_q=host_q.device_context(new_max=params.r),
+        rns_Q=host_Q.device_context(),
+        rns_q=host_q.device_context(),
     )
 
 
@@ -323,32 +323,14 @@ def _encrypt_public(pk: PublicKey, ctx: Scheme2Context, key, message):
 
 
 def _switch_q_to_r(params, ctx, x, new_max, round_result):
+    """Exact modulus switch q -> new_max (round or floor), matching the
+    reference's `reduce_modulus` semantics (src/fhe2.jl:202-207 via
+    src/utils.jl:78-127) bit-for-bit for both the single-prime and RNS q."""
     if len(params.q_moduli) == 1:
-        y = x[0]
-        out = mm.rescale(new_max, y, params.q_moduli[0], round_result)
-        return out
-    # RNS path: CRT-interpolation rescale (round); floor approximated by
-    # round(v - 0.5) via an offset of -Q/2 on the value
-    if not round_result:
-        half = rns_mod.build_context(params.q_moduli)  # host consts
-        # subtract Q/(2*new_max) before rounding: floor(v) ≈ round(v - 0.5)
-        off = half.Q // (2 * new_max)
-        off_res = jnp.asarray(
-            np.array(
-                [(-off) % p for p in params.q_moduli], dtype=np.uint32
-            ).reshape(len(params.q_moduli), 1)
-        )
-        x = mm.addmod(x, off_res, ctx.plan_q.p)
-    ctx_q = ctx.rns_q
-    scaled = rns_mod.rescale_round(
-        dataclasses.replace(
-            ctx_q,
-            r_over_p=ctx_q.r_over_p * (new_max / params.r),
-        ),
-        x,
-        new_max - 1,
+        return mm.rescale(new_max, x[0], params.q_moduli[0], round_result)
+    return rns_mod.rescale_exact(
+        ctx.rns_q, x, new_max, params.q_moduli, round_result
     )
-    return scaled
 
 
 def decrypt(sk: PrivateKey, a: jax.Array, b: jax.Array) -> jax.Array:

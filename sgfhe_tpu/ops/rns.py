@@ -57,10 +57,6 @@ class RnsContext:
     s_digit: jax.Array       # (L, 1) uint32: s_i (plain value, < p_i)
     s_mod: jax.Array         # (L, L, 1): s_i mod p_k
     offset: jax.Array        # (L, 1): sum_i w_i * s_i mod p_k (per limb k)
-    # exact-rounding rescale-to-r constants: c_i = inv(Q/p_i) mod p_i
-    c_val: jax.Array         # (L, 1)
-    c_shoup: jax.Array       # (L, 1)
-    r_over_p: jax.Array      # (L, 1) float32: new_max / p_i  (set per new_max!)
 
 
 def build_context(moduli: tuple[int, ...]) -> "RnsContextHost":
@@ -106,7 +102,7 @@ class RnsContextHost:
             res = res + residues[i].astype(object) * (qi * ci)
         return np.vectorize(lambda v: int(v) % self.Q, otypes=[object])(res)
 
-    def device_context(self, new_max: int | None = None) -> RnsContext:
+    def device_context(self) -> RnsContext:
         L = len(self.moduli)
         mods = self.moduli
         p = np.array(mods, dtype=np.uint32).reshape(L, 1)
@@ -131,16 +127,6 @@ class RnsContextHost:
         offset = np.array(
             [self.offset_int % q for q in mods], dtype=np.uint32
         ).reshape(L, 1)
-        c_val = np.zeros((L, 1), dtype=np.uint32)
-        c_shoup = np.zeros((L, 1), dtype=np.uint32)
-        for i, q in enumerate(mods):
-            ci = pr.inv_mod(self.Q // q, q)
-            c_val[i, 0] = ci
-            c_shoup[i, 0] = mm.shoup_const(ci, q)
-        nm = float(new_max) if new_max is not None else 1.0
-        r_over_p = (nm / np.array(mods, dtype=np.float64)).astype(np.float32).reshape(
-            L, 1
-        )
         return RnsContext(
             p=jnp.asarray(p),
             mu=jnp.asarray(mu),
@@ -151,9 +137,6 @@ class RnsContextHost:
             s_digit=jnp.asarray(s_digit),
             s_mod=jnp.asarray(s_mod),
             offset=jnp.asarray(offset),
-            c_val=jnp.asarray(c_val),
-            c_shoup=jnp.asarray(c_shoup),
-            r_over_p=jnp.asarray(r_over_p),
         )
 
 
@@ -257,17 +240,185 @@ def flatten_random(
     return mm.addmod(y, jnp.stack(masks, axis=-3), ctx.p)
 
 
-def rescale_round(ctx: RnsContext, x: jax.Array, new_max_mask: int) -> jax.Array:
-    """round(x * new_max / Q) mod new_max for power-of-two new_max.
+def mixed_radix_digits(ctx: RnsContext, x: jax.Array) -> list[jax.Array]:
+    """Unbalanced mixed-radix digits of x (residues (..., L, m), values in
+    [0, Q)): returns L arrays (..., m) with 0 <= d_i < p_i and
+    x == sum_i d_i * w_i exactly (not just mod Q). Same extraction chain as
+    `flatten` without the balancing offset."""
+    L = ctx.p.shape[0]
+    digits = []
+    for i in range(L):
+        t = x[..., i, :]
+        pi = ctx.p[i]
+        for j in range(i):
+            dj_mod_pi = mm.mod_u32(digits[j], pi, ctx.mu[i])
+            t = mm.submod(t, dj_mod_pi, pi)
+            t = mm.shoup_mul(t, ctx.inv_pj_val[i, j], ctx.inv_pj_shoup[i, j], pi)
+        digits.append(t)
+    return digits
 
-    Uses the standard CRT-interpolation trick: with y_i = x_i * inv(Q/p_i)
-    mod p_i, we have x/Q = sum_i y_i/p_i - alpha for an integer alpha, so
-    round(x*new_max/Q) ≡ round(sum_i y_i*(new_max/p_i)) (mod new_max) since
-    new_max * alpha vanishes under the mask. Float32 keeps the absolute error
-    well below 0.5 digit (documented: ±1 LSB near exact-half boundaries, i.e.
-    bounded extra noise — reference semantics round exactly,
-    src/utils.jl:78-127).
+
+def _limbs_of_int(v: int, nl: int) -> list[np.uint32]:
+    return [np.uint32((v >> (32 * j)) & 0xFFFFFFFF) for j in range(nl)]
+
+
+def _mll_add(a: list, b: list) -> list:
+    """Multi-limb add (little-endian u32 limb lists), wrapping mod 2^(32*NL)."""
+    out = []
+    carry = None
+    for x, y in zip(a, b):
+        s = x + y
+        c1 = (s < x).astype(jnp.uint32)
+        if carry is not None:
+            s2 = s + carry
+            c1 = c1 | (s2 < s).astype(jnp.uint32)
+            s = s2
+        out.append(s)
+        carry = c1
+    return out
+
+
+def _mll_neg(a: list) -> list:
+    """Two's-complement negation of a limb list (so add(x, neg(y)) == x - y
+    mod 2^(32*NL))."""
+    out = []
+    carry = None  # start with +1 for two's complement
+    for x in a:
+        v = ~x
+        if carry is None:
+            s = v + jnp.uint32(1)
+            carry = (s == 0).astype(jnp.uint32)
+        else:
+            s = v + carry
+            carry = ((carry == 1) & (s == 0)).astype(jnp.uint32)
+        out.append(s)
+    return out
+
+
+def _mll_mul_const(d: jax.Array, k: int, nl: int) -> list:
+    """d (u32 array) times the static Python int k, as an NL-limb list."""
+    kl = _limbs_of_int(int(k), nl)
+    zero = jnp.zeros_like(d)
+    acc = [zero] * nl
+    for j in range(nl):
+        if int(kl[j]) == 0:
+            continue
+        hi, lo = mm.mulhilo(d, kl[j])
+        part = [zero] * j + [lo] + ([hi] if j + 1 < nl else []) + [zero] * max(
+            0, nl - j - 2
+        )
+        acc = _mll_add(acc, part)
+    return acc
+
+
+def _mll_ge_const(a: list, t: int) -> jax.Array:
+    """a >= t (static int), lexicographic from the most-significant limb."""
+    tl = _limbs_of_int(int(t), len(a))
+    gt = None
+    eq = None
+    for x, tv in zip(reversed(a), reversed(tl)):
+        x_gt = x > tv
+        x_eq = x == tv
+        if gt is None:
+            gt, eq = x_gt, x_eq
+        else:
+            gt = gt | (eq & x_gt)
+            eq = eq & x_eq
+    return gt | eq
+
+
+def rescale_exact(
+    ctx: RnsContext,
+    x: jax.Array,
+    new_max: int,
+    moduli: tuple[int, ...],
+    round_result: bool = True,
+) -> jax.Array:
+    """EXACT round/floor(x * new_max / Q) mod new_max for power-of-two
+    new_max and static moduli (reference `rescale`, src/utils.jl:78-92, and
+    the Q->r modulus switch src/utils.jl:120-127).
+
+    Algorithm: extract the exact mixed-radix digits d_i of x (so
+    x = sum d_i w_i as INTEGERS), form a float32 estimate of
+    v = (A*x + B) / C  (round: A=2*new_max, B=Q, C=2Q; floor: A=new_max, B=0,
+    C=Q — round(x*new_max/Q) == floor((2*x*new_max + Q) / 2Q); Q odd means no
+    ties), then correct the estimate with an EXACT multi-limb evaluation of
+    D = A*x + B - q_est*C + C: the true quotient satisfies C <= D < 2C, so
+    D < C means q_est is one too high and D >= 2C one too low. The float
+    estimate is within ±0.03 of v (3 products of magnitude <= new_max with
+    relative error ~2^-23), so one correction step suffices.
     """
-    y = mm.shoup_mul(x, ctx.c_val, ctx.c_shoup, ctx.p)  # (..., L, m)
-    s = jnp.sum(y.astype(jnp.float32) * ctx.r_over_p, axis=-2)  # (..., m)
-    return jnp.round(s).astype(jnp.uint32) & jnp.uint32(new_max_mask)
+    assert new_max & (new_max - 1) == 0, "new_max must be a power of two"
+    moduli = tuple(int(p) for p in moduli)
+    Q = 1
+    weights = []
+    for p in moduli:
+        weights.append(Q)
+        Q *= p
+    if round_result:
+        A, B, C = 2 * new_max, Q, 2 * Q
+    else:
+        A, B, C = new_max, 0, Q
+    # limb count: the largest intermediate is A*(Q-1) + B + C
+    nl = (A * (Q - 1) + B + C).bit_length() // 32 + 1
+
+    digits = mixed_radix_digits(ctx, x)  # L arrays (..., m), d_i < p_i
+
+    # float32 estimate of v = sum_i d_i * (A*w_i/C) + B/C
+    est = None
+    for i, d in enumerate(digits):
+        f = np.float32(A * weights[i] / C)
+        term = d.astype(jnp.float32) * f
+        est = term if est is None else est + term
+    if B:
+        est = est + np.float32(B / C)
+    # clamp: in floor mode est may dip epsilon below 0 when v == 0; the
+    # uint32 cast must never see a negative (clamped 0 is still in {q, q+1})
+    est = jnp.maximum(est, jnp.float32(0.0))
+    q_est = jnp.floor(est).astype(jnp.uint32)  # in {q-1, q, q+1}, >= 0
+
+    # exact D = sum_i d_i*(A*w_i) + (B + C) - q_est*C  (all limbs wrap-exact)
+    acc = [jnp.broadcast_to(v, q_est.shape).astype(jnp.uint32)
+           for v in _limbs_of_int(B + C, nl)]
+    for i, d in enumerate(digits):
+        acc = _mll_add(acc, _mll_mul_const(d, A * weights[i], nl))
+    acc = _mll_add(acc, _mll_neg(_mll_mul_const(q_est, C, nl)))
+    too_high = ~_mll_ge_const(acc, C)         # D < C   -> q_est - 1
+    too_low = _mll_ge_const(acc, 2 * C)       # D >= 2C -> q_est + 1
+    q = q_est + too_low.astype(jnp.uint32) - too_high.astype(jnp.uint32)
+    return q & jnp.uint32(new_max - 1)
+
+
+def rescale_wide(
+    new_max: int, x: jax.Array, old_max: int, round_result: bool
+) -> jax.Array:
+    """EXACT floor/round(x * new_max / old_max) for ANY old_max < 2^31 and
+    power-of-two new_max — the single-modulus case of `rescale_exact` (no
+    mixed-radix chain needed: x IS the digit). Extends mm.rescale beyond its
+    divisor < 2^28 range (its int32 fixup bound), enabling Params(n) for
+    n up to 4096 where q ~ 2^28..2^30 (reference handles these via the
+    UInt128 `rlwe_type` knob, src/fhe.jl:71-81).
+
+    Matches the reference semantics (src/utils.jl:78-92) including the
+    round-to-new_max -> 0 wrap (handled by the final mask) and exact ties:
+    round(v) = floor((2*x*new_max + old_max) / (2*old_max)) reproduces the
+    reference's floor(x*new_max/old_max + 1/2) for any parity of old_max.
+    """
+    assert new_max & (new_max - 1) == 0, "new_max must be a power of two"
+    old_max = int(old_max)
+    if round_result:
+        A, B, C = 2 * new_max, old_max, 2 * old_max
+    else:
+        A, B, C = new_max, 0, old_max
+    nl = (A * (old_max - 1) + B + C).bit_length() // 32 + 1
+    est = x.astype(jnp.float32) * np.float32(A / C) + np.float32(B / C)
+    est = jnp.maximum(est, jnp.float32(0.0))
+    q_est = jnp.floor(est).astype(jnp.uint32)
+    acc = [jnp.broadcast_to(v, q_est.shape).astype(jnp.uint32)
+           for v in _limbs_of_int(B + C, nl)]
+    acc = _mll_add(acc, _mll_mul_const(x, A, nl))
+    acc = _mll_add(acc, _mll_neg(_mll_mul_const(q_est, C, nl)))
+    too_high = ~_mll_ge_const(acc, C)
+    too_low = _mll_ge_const(acc, 2 * C)
+    q = q_est + too_low.astype(jnp.uint32) - too_high.astype(jnp.uint32)
+    return q & jnp.uint32(new_max - 1)

@@ -121,8 +121,8 @@ def pack_encrypted_bits_sharded(params: Params, ctx: SchemeContext, bkey,
         b_poly = pol.resize(jnp.transpose(b_all, (1, 0)), m)
         w1 = mm.negmod(w_tilde, p)
         v1 = mm.submod(b_poly, v_tilde, p)
-        w_r = rns_mod.rescale_round(ctx_.rns, w1, params.mask_r)
-        v_r = rns_mod.rescale_round(ctx_.rns, v1, params.mask_r)
+        w_r = rns_mod.rescale_exact(ctx_.rns, w1, params.r, params.moduli)
+        v_r = rns_mod.rescale_exact(ctx_.rns, v1, params.r, params.moduli)
         return w_r, v_r
 
     idx = jnp.arange(n, dtype=jnp.int32)

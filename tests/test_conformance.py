@@ -1,16 +1,15 @@
 """Conformance of the jitted TPU kernels against the exact big-int golden
-model (sgfhe_tpu/refimpl/golden.py): the full blind rotation is compared
-bit-for-bit in the Q domain, and the final mod-r LWEs within the documented
-±1 LSB of the float-assisted RNS rescale.
+model (sgfhe_tpu/refimpl/golden.py): the full blind rotation AND the final
+mod-r LWEs are compared bit-for-bit (the Q->r rescale is exact,
+rns.rescale_exact).
 
 This is the strongest scheme-level check: the two implementations share only
 `Params` — different polynomial multiplication (NTT+Shoup vs split matmul),
 different flatten (RNS mixed-radix chain vs positional big-int divmod),
-different rescale (CRT float interpolation vs exact big-int rounding).
+different rescale (estimate+multi-limb-correction vs big-int rounding).
 """
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 
@@ -20,7 +19,6 @@ from sgfhe_tpu.ops import ntt as ntt_mod
 from sgfhe_tpu.refimpl.golden import GoldenScheme
 
 
-@pytest.mark.slow
 def test_bootstrap_matches_golden():
     params = F.Params.create(64)
     ctx = F.make_context(params)
@@ -63,17 +61,13 @@ def test_bootstrap_matches_golden():
         assert da_int == [int(v) for v in ga], f"{name}: a mismatch"
         assert int(db_int) == int(gb), f"{name}: b mismatch"
 
-    # reduced mod-r LWEs within ±1 of the exact golden rescale
-    r = params.r
+    # reduced mod-r LWEs match the exact golden rescale bit-for-bit
     for gi, di in enumerate(dev):
         lwe_dev = bs._reduce_lwe(params, ctx, di)
         ga, gb = g.reduce_lwe_to_r(gold[gi])
         dev_a = np.asarray(lwe_dev.a)[0].astype(np.int64)
-        diff = np.minimum((dev_a - np.array(ga)) % r, (np.array(ga) - dev_a) % r)
-        assert diff.max() <= 1
-        db = int(np.asarray(lwe_dev.b)[0])
-        dd = min((db - gb) % r, (gb - db) % r)
-        assert dd <= 1
+        np.testing.assert_array_equal(dev_a, np.array(ga))
+        assert int(np.asarray(lwe_dev.b)[0]) == int(gb)
 
     # decrypted gate outputs match plaintext logic through the golden decrypt
     s_bits = np.asarray(sk.key)

@@ -1,6 +1,7 @@
 """RNS context tests: CRT roundtrip, mixed-radix flatten reconstruction and
 digit bounds (mirrors reference test/internals.test.jl:50-141), randomized
-flatten, and approximate rescale-to-r."""
+flatten, and the exact round/floor rescale (vs a big-int oracle, with
+adversarial boundary inputs)."""
 
 import numpy as np
 import jax
@@ -88,18 +89,87 @@ def test_flatten_random_reconstruction_and_bounds():
     np.testing.assert_array_equal(digits, digits2)
 
 
-def test_rescale_round():
+def _boundary_cases(Q: int, new_max: int) -> list[int]:
+    """Adversarial inputs: the x in [0, Q) closest to every rounding boundary
+    q + 1/2 (and floor boundary q) of x*new_max/Q, from both sides."""
+    xs = []
+    for q in range(new_max):
+        # x*new_max/Q == q + 1/2  <=>  x == (2q+1)Q / (2 new_max)
+        num = (2 * q + 1) * Q
+        lo = num // (2 * new_max)
+        xs.extend([lo, lo + 1])
+        # floor boundary x*new_max/Q == q  <=>  x == qQ/new_max
+        lo_f = (q * Q) // new_max
+        xs.extend([lo_f, lo_f + 1])
+    xs.extend([0, 1, Q - 1, Q // 2, Q // 2 + 1])
+    return [x % Q for x in xs]
+
+
+def test_rescale_exact_round_and_floor():
     host = small_ctx()
+    ctx = host.device_context()
     new_max = 1024
-    ctx = host.device_context(new_max=new_max)
     rng = np.random.default_rng(3)
-    xs = np.array(
-        [int(rng.integers(0, 1 << 44)) % host.Q for _ in range(256)], dtype=object
-    )
+    xs = [int(rng.integers(0, 1 << 44)) % host.Q for _ in range(256)]
+    xs += _boundary_cases(host.Q, new_max)
+    xs = np.array(xs, dtype=object)
     x_rns = host.to_rns(xs)
-    got = np.asarray(rns.rescale_round(ctx, jnp.asarray(x_rns), new_max - 1))
+    got_r = np.asarray(
+        rns.rescale_exact(ctx, jnp.asarray(x_rns), new_max, host.moduli, True)
+    )
+    got_f = np.asarray(
+        rns.rescale_exact(ctx, jnp.asarray(x_rns), new_max, host.moduli, False)
+    )
+    for gr, gf, x in zip(got_r, got_f, xs):
+        exact_r = (int(x) * new_max + host.Q // 2) // host.Q % new_max
+        exact_f = (int(x) * new_max) // host.Q % new_max
+        assert int(gr) == exact_r, (int(x), int(gr), exact_r)
+        assert int(gf) == exact_f, (int(x), int(gf), exact_f)
+
+
+def test_rescale_wide_single_modulus():
+    """rescale_wide must match the big-int oracle for q beyond mm.rescale's
+    2^28 fixup bound (the Params(4096) regime), round and floor, including
+    all boundary cases."""
+    q = pr.find_modulus(8192, (1 << 29) + 1)  # a ~29-bit prime
+    new_max = 1 << 16
+    rng = np.random.default_rng(5)
+    xs = [int(v) % q for v in rng.integers(0, q, 256)]
+    for k in rng.integers(0, new_max, 64):
+        lo = ((2 * int(k) + 1) * q) // (2 * new_max)
+        lof = (int(k) * q) // new_max
+        xs.extend([lo % q, (lo + 1) % q, lof % q, (lof + 1) % q])
+    x = jnp.asarray(np.array(xs, dtype=np.uint32))
+    got_r = np.asarray(rns.rescale_wide(new_max, x, q, True))
+    got_f = np.asarray(rns.rescale_wide(new_max, x, q, False))
+    for gr, gf, v in zip(got_r, got_f, xs):
+        assert int(gr) == (v * new_max + q // 2) // q % new_max
+        assert int(gf) == (v * new_max) // q % new_max
+
+
+def test_rescale_exact_wide_rns():
+    """Production-width check: Params(512)-like moduli (3 x ~27-bit primes,
+    Q ~ 2^81) against a big-int oracle, including boundary cases."""
+    mods = pr.find_rns_primes(8192, 1220 * (8192**4) * (512**2),
+                              1225 * (8192**4) * (512**2), 3)
+    host = rns.build_context(mods)
+    ctx = host.device_context()
+    new_max = 8192
+    rng = np.random.default_rng(4)
+    xs = [
+        (int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 62))) % host.Q
+        for _ in range(128)
+    ]
+    # boundary cases around a sample of rounding boundaries
+    for q in rng.integers(0, new_max, 64):
+        num = (2 * int(q) + 1) * host.Q
+        lo = num // (2 * new_max)
+        xs.extend([lo % host.Q, (lo + 1) % host.Q])
+    xs = np.array(xs, dtype=object)
+    x_rns = host.to_rns(xs)
+    got = np.asarray(
+        rns.rescale_exact(ctx, jnp.asarray(x_rns), new_max, host.moduli, True)
+    )
     for g, x in zip(got, xs):
         exact = (int(x) * new_max + host.Q // 2) // host.Q % new_max
-        # allow ±1 for float rounding at half-boundaries
-        diff = min((int(g) - exact) % new_max, (exact - int(g)) % new_max)
-        assert diff <= 1, (int(g), exact)
+        assert int(g) == exact, (int(x), int(g), exact)
