@@ -58,7 +58,11 @@ class Params:
         assert n & (n - 1) == 0, "n must be a power of 2"
         r = 16 * n
         q = pr.find_modulus(2 * n, r * n)
-        assert q < (1 << 28), f"n={n} too large for exact uint32 rescale path"
+        # q must fit a single uint32 NTT modulus (q ~ 16 n^2): holds through
+        # n = 4096 (reference covers the same sizes via its UInt128
+        # `rlwe_type` knob, src/fhe.jl:71-81; perf tests run Params(1024),
+        # test/performance.test.jl:54-78)
+        assert q < (1 << 30), f"n={n}: q ~ 16n^2 exceeds the uint32 NTT range"
         t = r.bit_length() - 1 - 1  # log2(r) - 1
         m = r // 2
         qmin = 1220 * r**4 * n**2

@@ -1,40 +1,46 @@
 """Fused Pallas TPU kernel for the blind-rotation hot loop.
 
 The jnp path in models/bootstrap.py materializes every NTT stage to HBM
-(~10 full-array round trips per rotation step); at Params(64) that makes the
-gate bootstrap HBM-bandwidth-bound. This kernel keeps a tile of the gate
-batch resident in VMEM for the FULL n-step rotation (reference
-src/fhe.jl:579-582), with the NTT-domain bootstrap key also VMEM-resident
-(n=64: ~4 MB with Shoup companions), so HBM sees only the initial
-accumulators in and the final accumulators out.
+(~10 full-array round trips per rotation step); this kernel keeps a tile of
+the gate batch resident in VMEM for the FULL n-step rotation (reference
+src/fhe.jl:579-582). Two variants:
 
-NTT formulation (kernel-friendly, no reshapes): each radix-2 stage is a
-static-shift rotate + masked select —
+ - resident: the NTT-domain bootstrap key lives in VMEM for the whole
+   rotation (n=64: ~4 MB with Shoup companions).
+ - streamed: the key-index axis is a Pallas GRID dimension, so the per-step
+   key slice is double-buffered HBM->VMEM; works at any n (Params(512):
+   ~600 MB key, ~2.3 MB VMEM footprint).
 
-    fwd DIF stage, half h:  x' = where(bit_h(idx)==0,
-                                       x + roll(x, -h),          # e = u+v
-                                       (roll(x, h) - x) * tw)    # o = (u-v)w^j
-    inv DIT stage, len  h:  y  = x * tw  (tw = w^{-j} at b-positions)
-                            x' = where(bit_h(idx)==0,
-                                       x + roll(y, -h),          # a + t
-                                       roll(x, h) - y)           # a - t
+NTT formulation (2-D tiled, Mosaic-friendly at any m): the coefficient axis
+m is laid out as (m1, m2) with m2 = 128 lanes, flat index i = i1*m2 + i2.
 
-where roll is a cyclic shift of the coefficient axis implemented as two
-static slices + concat (Mosaic-native). The wrapped-in positions are exactly
-the masked-out ones, so cyclic wrap is harmless. Twiddle tables are stored
-full-width per stage ((S, L, m), value+Shoup), masked positions hold 0.
+ - Stages with half-width h >= m2 operate along the MAJOR axis m1: these are
+   true butterflies via a static reshape m1 -> (g, 2, h1) (h1 = h/m2) — one
+   Shoup multiply per PAIR of elements, and the reshape/slicing moves no
+   data because the minor (T, m2) dims are untouched.
+ - Stages with h < m2 use the roll+select form along the 128-lane minor
+   axis: x' = where(bit_h(i2)==0, x + roll(x, -h), (roll(x, h) - x) * tw).
+   A lane roll never crosses a row because selected positions satisfy
+   i2 + h < m2 (bit_h(i2)==0 implies i2 mod 2h < h), so the cyclic wrap
+   lands only on masked-out lanes.
+
+This removes the large-roll relayouts that made Mosaic compilation explode
+at m >= 4096 in the flat layout (every roll is now either free vreg
+renumbering along m1 or a single-vreg lane rotate).
 
 Digit decomposition (ops/rns.py `flatten`), the gadget accumulation, and the
 ψ-power monomial bit-ladder (ops/ntt.py `monomial_mul_hat`) are pure
 elementwise uint32 ops and fuse into the same kernel.
 
 Equivalent to the jnp path bit-for-bit (deterministic mode); tested in
-interpret mode on CPU against models/bootstrap.bootstrap_internal.
+interpret mode on CPU against models/bootstrap.bootstrap_internal and on
+real TPU by bench.py --check (encrypt -> bootstrap -> decrypt truth tables).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import numpy as np
@@ -46,27 +52,23 @@ from jax.experimental.pallas import tpu as pltpu
 from . import modmath as mm
 from .ntt import NttPlan
 
+LANES = 128
 
-def _roll(x: jax.Array, shift: int) -> jax.Array:
-    """Cyclic right-shift of the last axis by a STATIC amount: out[i] =
-    x[(i - shift) mod m], via two static slices + concat."""
-    m = x.shape[-1]
-    shift = shift % m
-    if shift == 0:
-        return x
-    return jnp.concatenate([x[..., m - shift:], x[..., :m - shift]], axis=-1)
+# Scoped-VMEM ceiling for the kernels. The Mosaic default (16 MiB) is below
+# v5e's physical VMEM; raising it lets the streamed kernel carry a larger
+# batch tile (fewer full restreams of the ~600 MB n=512 key from HBM).
+_VMEM_LIMIT = int(os.environ.get("SGFHE_VMEM_LIMIT", 64 * 1024 * 1024))
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FusedTables:
-    """Full-width per-stage twiddle tables for the roll-based NTT."""
+    """Full-width per-stage twiddle tables for the 2-D tiled NTT."""
 
     fwd_full: jax.Array    # (S, L, m) twiddle at v-positions, 0 elsewhere
     fwd_full_s: jax.Array  # Shoup companions
     inv_full: jax.Array    # (S, L, m) twiddle at b-positions, 0 elsewhere
     inv_full_s: jax.Array
-    lane: jax.Array        # (1, m) int32 coefficient index
 
 
 def build_fused(plan: NttPlan) -> FusedTables:
@@ -94,117 +96,138 @@ def build_fused(plan: NttPlan) -> FusedTables:
         w, ws = (np.asarray(t) for t in plan.inv_tw[s])  # (L, ln)
         inv[s, :, b_pos] = w[:, j[b_pos]].T
         inv_s[s, :, b_pos] = ws[:, j[b_pos]].T
-    lane = np.arange(m, dtype=np.int32).reshape(1, m)
     return FusedTables(
         fwd_full=jnp.asarray(fwd),
         fwd_full_s=jnp.asarray(fwd_s),
         inv_full=jnp.asarray(inv),
         inv_full_s=jnp.asarray(inv_s),
-        lane=jnp.asarray(lane),
     )
 
 
-def ntt_fwd_roll(x, pre, pre_s, fwd, fwd_s, lane, p, m: int):
-    """Forward negacyclic NTT, roll formulation. x: (..., L, m); identical
-    output (bit-reversed hat order) to ops/ntt.ntt_fwd."""
-    x = mm.shoup_mul(x, pre, pre_s, p)
-    S = m.bit_length() - 1
-    for s in range(S):
-        h = m >> (s + 1)
-        e = mm.addmod(x, _roll(x, -h), p)
-        o = mm.shoup_mul(mm.submod(_roll(x, h), x, p), fwd[s], fwd_s[s], p)
-        is_u = (lane & jnp.int32(h)) == 0
-        x = jnp.where(is_u, e, o)
-    return x
+def _split_m(m: int) -> tuple[int, int]:
+    m2 = min(m, LANES)
+    return m // m2, m2
 
 
-def ntt_inv_roll(x, post, post_s, inv, inv_s, lane, p, m: int):
-    """Inverse NTT (hat -> coefficients), mirror of ops/ntt.ntt_inv."""
-    S = m.bit_length() - 1
-    for s in range(S):
-        h = 1 << s
-        y = mm.shoup_mul(x, inv[s], inv_s[s], p)
-        lo = mm.addmod(x, _roll(y, -h), p)
-        hi = mm.submod(_roll(x, h), y, p)
-        is_a = (lane & jnp.int32(h)) == 0
-        x = jnp.where(is_a, lo, hi)
-    return mm.shoup_mul(x, post, post_s, p)
+def _roll_minor(x: jax.Array, shift: int) -> jax.Array:
+    """Cyclic shift of the last (lane) axis: out[..., i] = x[..., (i-shift) % m2]."""
+    m2 = x.shape[-1]
+    shift = shift % m2
+    if shift == 0:
+        return x
+    return jnp.concatenate([x[..., m2 - shift:], x[..., :m2 - shift]], axis=-1)
 
+
+def _lane_mask(h: int, ndim: int, m2: int) -> jax.Array:
+    """(..., 1, m2) bool: bit_h of the lane index is 0."""
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (1,) * (ndim - 1) + (m2,), ndim - 1)
+    return (i2 & jnp.int32(h)) == 0
+
+
+# ---------------------------------------------------------------------------
+# 2-D tiled lazy NTT (Harvey bounds tracked in units of p)
+# ---------------------------------------------------------------------------
+# Array layout inside kernels: (..., L, m1, T, m2) where (T, m2) are the
+# minor sublane x lane dims; the m1 axis is MAJOR so slicing/reshaping it is
+# free. Twiddle tables are (S, L, m1, 1, m2), broadcasting over T.
 
 _U32_LIMIT = (1 << 32) - 1
 
 
-def _ntt_fwd_lazy(x, pre, pre_s, fwd, fwd_s, lane, p, mu, p_max: int, m: int):
-    """Forward NTT with Harvey lazy reduction: input canonical (< p), output
-    congruent mod p with per-lane bound `c * p` (returned multiplier c).
-
-    Bound tracking: after the pre-twist every lane is < 2p; each stage at
-    worst doubles the e-lane bound, and o-lanes reset to < 2p (lazy Shoup
-    output). When the next stage would overflow u32, a Barrett reduction
-    resets the bound — at 21-bit primes (n=64) that never triggers; at
-    27-bit primes (n=512) it triggers every ~4 stages.
-    """
+def _ntt_fwd_lazy(x, pre, pre_s, fwd, fwd_s, p, mu, p_max: int,
+                  m1: int, m2: int):
+    """Forward negacyclic NTT, input canonical, output congruent mod p with
+    per-lane bound c*p (returned multiplier c). x: (..., m1, T, m2)."""
+    m = m1 * m2
     x = mm.shoup_mul_lazy(x, pre, pre_s, p)
     c = 2
     S = m.bit_length() - 1
+    ax1 = x.ndim - 3  # the m1 axis
     for s in range(S):
         h = m >> (s + 1)
         if 2 * c * p_max > _U32_LIMIT:
             x = mm.mod_u32(x, p, mu)
             c = 1
-        e = x + _roll(x, -h)                              # < 2c p
-        arg = _roll(x, h) + jnp.uint32(c) * p - x         # ≡ u - v, < 2c p
-        o = mm.shoup_mul_lazy(arg, fwd[s], fwd_s[s], p)   # < 2p
-        is_u = (lane & jnp.int32(h)) == 0
-        x = jnp.where(is_u, e, o)
+        if h >= m2:
+            # true butterfly along m1: reshape m1 -> (g, 2, h1). The reshape
+            # adds one axis before (h1, T, m2), so per-limb constants need an
+            # extra broadcast dim: p5 aligns L with L, not with g.
+            h1 = h // m2
+            g = m1 // (2 * h1)
+            p5 = p[:, None]
+            xv = x.reshape(x.shape[:ax1] + (g, 2, h1) + x.shape[ax1 + 1:])
+            u = xv[..., :, 0, :, :, :]
+            v = xv[..., :, 1, :, :, :]
+            e = u + v                                      # < 2c p
+            arg = u + jnp.uint32(c) * p5 - v               # ≡ u - v, < 2c p
+            # twiddle for flat j = jj*m2 + i2 at v-block position jj: rows
+            # h1..2h1-1 of the full table (idx mod blen ∈ [h, 2h))
+            tw = fwd[s, ..., h1:2 * h1, :, :][:, None]
+            tws = fwd_s[s, ..., h1:2 * h1, :, :][:, None]
+            o = mm.shoup_mul_lazy(arg, tw, tws, p5)        # < 2p
+            x = jnp.concatenate(
+                [e[..., :, None, :, :, :], o[..., :, None, :, :, :]],
+                axis=ax1 + 1,
+            ).reshape(x.shape)
+        else:
+            # lane stage: roll+select along the 128-lane minor axis
+            e = x + _roll_minor(x, -h)
+            arg = _roll_minor(x, h) + jnp.uint32(c) * p - x
+            o = mm.shoup_mul_lazy(arg, fwd[s], fwd_s[s], p)
+            x = jnp.where(_lane_mask(h, x.ndim, m2), e, o)
         c = 2 * c
     return x, c
 
 
-def _ntt_inv_lazy(x, post, post_s, inv, inv_s, lane, p, mu, c_in: int,
-                  p_max: int, m: int):
-    """Inverse NTT with lazy reduction; input bound c_in * p, output CANONICAL
-    (< p) — the caller feeds it straight into the next flatten."""
+def _ntt_inv_lazy(x, post, post_s, inv, inv_s, p, mu, c_in: int,
+                  p_max: int, m1: int, m2: int):
+    """Inverse NTT (hat -> coefficients); input bound c_in*p, output CANONICAL
+    (< p). x: (..., m1, T, m2)."""
+    m = m1 * m2
     S = m.bit_length() - 1
     c = c_in
+    ax1 = x.ndim - 3
     for s in range(S):
         h = 1 << s
         if (c + 2) * p_max > _U32_LIMIT:
             x = mm.mod_u32(x, p, mu)
             c = 1
-        y = mm.shoup_mul_lazy(x, inv[s], inv_s[s], p)     # < 2p
-        lo = x + _roll(y, -h)                             # < (c+2) p
-        hi = _roll(x, h) + jnp.uint32(2) * p - y          # < (c+2) p
-        is_a = (lane & jnp.int32(h)) == 0
-        x = jnp.where(is_a, lo, hi)
+        if h >= m2:
+            h1 = h // m2
+            g = m1 // (2 * h1)
+            p5 = p[:, None]
+            xv = x.reshape(x.shape[:ax1] + (g, 2, h1) + x.shape[ax1 + 1:])
+            a = xv[..., :, 0, :, :, :]
+            b = xv[..., :, 1, :, :, :]
+            tw = inv[s, ..., h1:2 * h1, :, :][:, None]
+            tws = inv_s[s, ..., h1:2 * h1, :, :][:, None]
+            t = mm.shoup_mul_lazy(b, tw, tws, p5)          # < 2p
+            lo = a + t                                     # < (c+2) p
+            hi = a + jnp.uint32(2) * p5 - t                # < (c+2) p
+            x = jnp.concatenate(
+                [lo[..., :, None, :, :, :], hi[..., :, None, :, :, :]],
+                axis=ax1 + 1,
+            ).reshape(x.shape)
+        else:
+            y = mm.shoup_mul_lazy(x, inv[s], inv_s[s], p)  # < 2p
+            lo = x + _roll_minor(y, -h)                    # < (c+2) p
+            hi = _roll_minor(x, h) + jnp.uint32(2) * p - y
+            x = jnp.where(_lane_mask(h, x.ndim, m2), lo, hi)
         c = c + 2
-    x = mm.shoup_mul_lazy(x, post, post_s, p)             # < 2p
+    x = mm.shoup_mul_lazy(x, post, post_s, p)              # < 2p
     return jnp.where(x >= p, x - p, x)
-
-
-def mono_mul_ladder(x, u, mono, mono_s, p):
-    """x * x^u in the hat domain via the ψ-power bit ladder; u: (...,) uint32
-    batch exponents matching x's leading axes (ops/ntt.monomial_mul_hat)."""
-    nbits = mono.shape[0]
-    cond_shape = u.shape + (1, 1)
-    for b in range(nbits):
-        y = mm.shoup_mul(x, mono[b], mono_s[b], p)
-        bit = ((u >> b) & jnp.uint32(1)).astype(jnp.bool_).reshape(cond_shape)
-        x = jnp.where(bit, y, x)
-    return x
 
 
 def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int):
     """In-kernel mixed-radix balanced flatten (mirrors ops/rns.flatten) in the
-    limb-major layout: x (L, T, m) -> list of L digits, each (L, T, m).
-
-    p, mu, offset: (L, 1, 1); s_mod: (L, L, 1, 1); inv tables (L, L) scalars.
-    """
+    limb-major layout: x (L, m1, T, m2) -> list of L digits, each (L, m1, T,
+    m2). p, mu, offset: (L, 1, 1, 1); s_mod: (L, L, 1, 1, 1); inv tables
+    (L, L) scalars."""
     y = mm.addmod(x, offset, p)
     digits = []
     for i in range(L):
-        t = y[i]  # (T, m)
-        pi = p[i]  # (1, 1)
+        t = y[i]  # (m1, T, m2)
+        pi = p[i]
         for j in range(i):
             dj = mm.mod_u32(digits[j], pi, mu[i])
             t = mm.submod(t, dj, pi)
@@ -212,174 +235,293 @@ def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int):
         digits.append(t)
     out = []
     for i in range(L):
-        d = digits[i][None]  # (1, T, m)
-        e = mm.mod_u32(d, p, mu)  # (L, T, m)
+        d = digits[i][None]  # (1, m1, T, m2)
+        e = mm.mod_u32(d, p, mu)  # (L, m1, T, m2)
         e = mm.submod(e, s_mod[i], p)
         out.append(e)
     return out
 
 
-def _rotate_kernel(
-    # inputs (order matters — must match pallas_call operands)
-    ua_ref, a0_ref, b0_ref, bk_ref, bks_ref,
-    pre_ref, pre_s_ref, post_ref, post_s_ref,
-    fwd_ref, fwd_s_ref, inv_ref, inv_s_ref, lane_ref,
-    mono_ref, mono_s_ref,
-    p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
-    wval_ref, wshoup_ref,
-    # outputs
-    a_out_ref, b_out_ref,
-    *, n: int, l: int, L: int, m: int, p_max: int,
+def _rotate_body(
+    a_acc, b_acc, ck, cks, u_k,
+    pre, pre_s, post, post_s, fwd, fwd_s, inv, inv_s, mono, mono_s,
+    p, mu, ipj, ipj_s, smod, off, wval, wshoup,
+    *, l: int, L: int, m1: int, m2: int, p_max: int,
 ):
-    """Kernel-internal layout is limb-major (L, T, m): the minor two dims
-    (T, m) fill whole sublane×lane tiles regardless of the limb count."""
-    p = p_ref[:]          # (L, 1, 1)
-    mu = mu_ref[:]
-    pre, pre_s = pre_ref[:], pre_s_ref[:]        # (L, 1, m)
-    post, post_s = post_ref[:], post_s_ref[:]
-    fwd, fwd_s = fwd_ref[:], fwd_s_ref[:]        # (S, L, 1, m)
-    inv, inv_s = inv_ref[:], inv_s_ref[:]
-    lane = lane_ref[:]                            # (1, m)
-    mono, mono_s = mono_ref[:], mono_s_ref[:]    # (nbits, L, 1, m)
-    ipj, ipj_s = ipj_ref[:], ipj_s_ref[:]        # (L, L)
-    smod, off = smod_ref[:], off_ref[:]          # (L, L, 1, 1), (L, 1, 1)
-    wval, wshoup = wval_ref[:], wshoup_ref[:]    # (l, L, 1, 1)
+    """One blind-rotation step on a batch tile.
 
-    def step(k, carry):
-        a_acc, b_acc = carry  # (L, T, m), canonical residues
-        ck = bk_ref[pl.ds(k, 1)][0]    # (2l, 2, L, m)
-        cks = bks_ref[pl.ds(k, 1)][0]
-        u_k = ua_ref[pl.ds(k, 1)][0]   # (T, 1)
-
-        da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L)
-        db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L)
-        digits = jnp.stack(da + db, axis=0)  # (2l, L, T, m)
-        d_hat, _ = _ntt_fwd_lazy(
-            digits, pre, pre_s, fwd, fwd_s, lane, p, mu, p_max, m
-        )
-
-        outs = []
-        for c in range(2):
-            # lazy accumulation: each Shoup product < 2p, sums tracked below
-            s_acc = None
-            t_acc = None
-            for row in range(2 * l):
-                prod = mm.shoup_mul_lazy(
-                    d_hat[row], ck[row, c][:, None, :], cks[row, c][:, None, :],
-                    p,
-                )
-                s_acc = prod if s_acc is None else s_acc + prod
-            for i in range(l):
-                row = i if c == 0 else l + i
-                wprod = mm.shoup_mul_lazy(d_hat[row], wval[i], wshoup[i], p)
-                t_acc = wprod if t_acc is None else t_acc + wprod
-            cs = ct = 2 * (2 * l)  # bound multipliers (in units of p)
-            if (2 * cs + ct) * p_max > _U32_LIMIT:
-                s_acc = mm.mod_u32(s_acc, p, mu)
-                t_acc = mm.mod_u32(t_acc, p, mu)
-                cs = ct = 1
-            # monomial bit-ladder: rot = x^{u_k} * s_acc (bound stays cs*p:
-            # multiplied lanes drop under 2p <= cs*p, others keep cs*p)
-            rot = s_acc
-            for b in range(mono.shape[0]):
-                y = mm.shoup_mul_lazy(rot, mono[b], mono_s[b], p)
-                bit = ((u_k >> b) & jnp.uint32(1)).astype(jnp.bool_)[None]
-                rot = jnp.where(bit, y, rot)  # (1, T, 1) vs (L, T, m)
-            # val = rot - s_acc + t_acc, kept nonnegative via +cs*p
-            val = rot + (jnp.uint32(cs) * p - s_acc) + t_acc
-            outs.append(
-                _ntt_inv_lazy(
-                    val, post, post_s, inv, inv_s, lane, p, mu,
-                    2 * cs + ct, p_max, m,
-                )
-            )
-        return outs[0], outs[1]
-
-    a0 = jnp.transpose(a0_ref[:], (1, 0, 2))  # (T, L, m) -> (L, T, m)
-    b0 = jnp.transpose(b0_ref[:], (1, 0, 2))
-    a_acc, b_acc = jax.lax.fori_loop(0, n, step, (a0, b0))
-    a_out_ref[:] = jnp.transpose(a_acc, (1, 0, 2))
-    b_out_ref[:] = jnp.transpose(b_acc, (1, 0, 2))
-
-
-def _rotate_step_kernel(
-    # inputs
-    ua_ref, a0_ref, b0_ref, bk_ref, bks_ref,
-    pre_ref, pre_s_ref, post_ref, post_s_ref,
-    fwd_ref, fwd_s_ref, inv_ref, inv_s_ref, lane_ref,
-    mono_ref, mono_s_ref,
-    p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
-    wval_ref, wshoup_ref,
-    # outputs (revisited across the k grid axis — the rotation accumulator)
-    a_out_ref, b_out_ref,
-    *, n: int, l: int, L: int, m: int, p_max: int,
-):
-    """One blind-rotation step per grid point (t, k): the key-index axis k is
-    a GRID dimension, so Pallas streams the (1, 2l, 2, L, m) bootstrap-key
-    slice for step k from HBM into VMEM with automatic double-buffering —
-    this is how n=512 (≈600 MB key) runs with a ~2.3 MB VMEM key footprint.
-    The accumulator lives in the revisited output blocks (limb-major
-    (L, T, m)), which stay VMEM-resident for all n steps of a tile."""
-    k = pl.program_id(1)
-    p = p_ref[:]
-    mu = mu_ref[:]
-
-    @pl.when(k == 0)
-    def _init():
-        a_out_ref[:] = a0_ref[:]
-        b_out_ref[:] = b0_ref[:]
-
-    a_acc = a_out_ref[:]
-    b_acc = b_out_ref[:]
-    ck = bk_ref[0]    # (2l, 2, L, m) — this step's key slice
-    cks = bks_ref[0]
-    u_k = ua_ref[0]   # (T, 1)
-    ipj, ipj_s = ipj_ref[:], ipj_s_ref[:]
-    smod, off = smod_ref[:], off_ref[:]
-
+    a_acc, b_acc: (L, m1, T, m2) canonical residues.
+    ck/cks: (2l, 2, L, m1, m2) key slice; u_k: (T, 1) exponents.
+    """
     da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L)
     db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L)
-    digits = jnp.stack(da + db, axis=0)  # (2l, L, T, m)
-    lane = lane_ref[:]
-    d_hat, _ = _ntt_fwd_lazy(
-        digits, pre_ref[:], pre_s_ref[:], fwd_ref[:], fwd_s_ref[:], lane, p,
-        mu, p_max, m,
-    )
+    digits = jnp.stack(da + db, axis=0)  # (2l, L, m1, T, m2)
+    d_hat, _ = _ntt_fwd_lazy(digits, pre, pre_s, fwd, fwd_s, p, mu, p_max,
+                             m1, m2)
 
-    wval, wshoup = wval_ref[:], wshoup_ref[:]
-    mono, mono_s = mono_ref[:], mono_s_ref[:]
     outs = []
     for c in range(2):
+        # lazy accumulation: each Shoup product < 2p, bounds tracked below
         s_acc = None
         t_acc = None
         for row in range(2 * l):
             prod = mm.shoup_mul_lazy(
-                d_hat[row], ck[row, c][:, None, :], cks[row, c][:, None, :], p
+                d_hat[row], ck[row, c][:, :, None, :], cks[row, c][:, :, None, :],
+                p,
             )
             s_acc = prod if s_acc is None else s_acc + prod
         for i in range(l):
             row = i if c == 0 else l + i
             wprod = mm.shoup_mul_lazy(d_hat[row], wval[i], wshoup[i], p)
             t_acc = wprod if t_acc is None else t_acc + wprod
-        cs = ct = 2 * (2 * l)
+        cs = ct = 2 * (2 * l)  # bound multipliers (in units of p)
         if (2 * cs + ct) * p_max > _U32_LIMIT:
             s_acc = mm.mod_u32(s_acc, p, mu)
             t_acc = mm.mod_u32(t_acc, p, mu)
             cs = ct = 1
+        # monomial bit-ladder: rot = x^{u_k} * s_acc (bound stays cs*p:
+        # multiplied lanes drop under 2p <= cs*p, others keep cs*p)
         rot = s_acc
         for b in range(mono.shape[0]):
             y = mm.shoup_mul_lazy(rot, mono[b], mono_s[b], p)
-            bit = ((u_k >> b) & jnp.uint32(1)).astype(jnp.bool_)[None]
-            rot = jnp.where(bit, y, rot)
+            bit = ((u_k >> b) & jnp.uint32(1)).astype(jnp.bool_)[None, None]
+            rot = jnp.where(bit, y, rot)  # (1, 1, T, 1) vs (L, m1, T, m2)
+        # val = rot - s_acc + t_acc, kept nonnegative via +cs*p
         val = rot + (jnp.uint32(cs) * p - s_acc) + t_acc
         outs.append(
-            _ntt_inv_lazy(
-                val, post_ref[:], post_s_ref[:], inv_ref[:], inv_s_ref[:],
-                lane, p, mu, 2 * cs + ct, p_max, m,
-            )
+            _ntt_inv_lazy(val, post, post_s, inv, inv_s, p, mu,
+                          2 * cs + ct, p_max, m1, m2)
         )
-    a_out_ref[:] = outs[0]
-    b_out_ref[:] = outs[1]
+    return outs[0], outs[1]
+
+
+def _rotate_kernel(
+    # inputs (order matters — must match pallas_call operands)
+    ua_ref, a0_ref, b0_ref, bk_ref, bks_ref,
+    pre_ref, pre_s_ref, post_ref, post_s_ref,
+    fwd_ref, fwd_s_ref, inv_ref, inv_s_ref,
+    mono_ref, mono_s_ref,
+    p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
+    wval_ref, wshoup_ref,
+    # outputs
+    a_out_ref, b_out_ref,
+    *, n: int, l: int, L: int, m1: int, m2: int, p_max: int,
+):
+    """Resident kernel: whole bootstrap key in VMEM, fori_loop over steps."""
+    p = p_ref[:]          # (L, 1, 1, 1)
+    mu = mu_ref[:]
+    consts = dict(
+        pre=pre_ref[:], pre_s=pre_s_ref[:], post=post_ref[:],
+        post_s=post_s_ref[:], fwd=fwd_ref[:], fwd_s=fwd_s_ref[:],
+        inv=inv_ref[:], inv_s=inv_s_ref[:], mono=mono_ref[:],
+        mono_s=mono_s_ref[:], p=p, mu=mu, ipj=ipj_ref[:], ipj_s=ipj_s_ref[:],
+        smod=smod_ref[:], off=off_ref[:], wval=wval_ref[:],
+        wshoup=wshoup_ref[:],
+    )
+
+    def step(k, carry):
+        a_acc, b_acc = carry
+        ck = bk_ref[pl.ds(k, 1)][0]    # (2l, 2, L, m1, m2)
+        cks = bks_ref[pl.ds(k, 1)][0]
+        u_k = ua_ref[pl.ds(k, 1)][0]   # (T, 1)
+        return _rotate_body(
+            a_acc, b_acc, ck, cks, u_k, **consts,
+            l=l, L=L, m1=m1, m2=m2, p_max=p_max,
+        )
+
+    a_acc, b_acc = jax.lax.fori_loop(0, n, step, (a0_ref[:], b0_ref[:]))
+    a_out_ref[:] = a_acc
+    b_out_ref[:] = b_acc
+
+
+def _rotate_step_kernel(
+    # inputs
+    ua_ref, a0_ref, b0_ref, bk_ref, bks_ref,
+    pre_ref, pre_s_ref, post_ref, post_s_ref,
+    fwd_ref, fwd_s_ref, inv_ref, inv_s_ref,
+    mono_ref, mono_s_ref,
+    p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
+    wval_ref, wshoup_ref,
+    # outputs (revisited across the k grid axis — the rotation accumulator)
+    a_out_ref, b_out_ref,
+    *, n: int, l: int, L: int, m1: int, m2: int, p_max: int,
+):
+    """One blind-rotation step per grid point (t, k): the key-index axis k is
+    a GRID dimension, so Pallas streams the (1, 2l, 2, L, m1, m2) bootstrap-
+    key slice for step k from HBM into VMEM with automatic double-buffering —
+    this is how n=512 (≈600 MB key) runs with a ~2.3 MB VMEM key footprint.
+    The accumulator lives in the revisited output blocks, which stay
+    VMEM-resident for all n steps of a tile."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        a_out_ref[:] = a0_ref[:]
+        b_out_ref[:] = b0_ref[:]
+
+    a_acc, b_acc = _rotate_body(
+        a_out_ref[:], b_out_ref[:], bk_ref[0], bks_ref[0], ua_ref[0],
+        pre_ref[:], pre_s_ref[:], post_ref[:], post_s_ref[:],
+        fwd_ref[:], fwd_s_ref[:], inv_ref[:], inv_s_ref[:],
+        mono_ref[:], mono_s_ref[:],
+        p_ref[:], mu_ref[:], ipj_ref[:], ipj_s_ref[:], smod_ref[:],
+        off_ref[:], wval_ref[:], wshoup_ref[:],
+        l=l, L=L, m1=m1, m2=m2, p_max=p_max,
+    )
+    a_out_ref[:] = a_acc
+    b_out_ref[:] = b_acc
+
+
+def _tile_env() -> int | None:
+    """SGFHE_TILE override, read at call time and validated."""
+    v = os.environ.get("SGFHE_TILE")
+    if not v:
+        return None
+    try:
+        t = int(v)
+    except ValueError as e:
+        raise ValueError(f"SGFHE_TILE must be an integer, got {v!r}") from e
+    if t < 8 or t % 8 != 0:
+        raise ValueError(
+            f"SGFHE_TILE must be a positive multiple of 8 (sublane tiling), "
+            f"got {t}"
+        )
+    return t
+
+
+def _auto_tile(params, default: int, *, streamed: bool) -> int:
+    """Batch-tile size. The per-tile VMEM working set (digits + d_hat +
+    accumulators + mulhilo temporaries, ~20 arrays of (L, tile, m) u32) must
+    stay under the scoped-VMEM limit alongside the resident tables; the
+    resident kernel also holds the whole key (fused_bkey_vmem_bytes), so it
+    gets a tighter cap. Measured on v5e at n=512 (L=3, m=4096): tile 8/16/32
+    -> 169/180/187 gates/s but 59s/156s/963s Mosaic compile — tile=16 is the
+    sweet spot (SGFHE_TILE overrides). At n=64 the resident kernel's tile=32
+    is within 1% of 64 and always fits."""
+    env = _tile_env()
+    if env is not None:
+        return env
+    L, m = params.num_limbs, params.m
+    budget = 16 * 1024 * 1024 if streamed else 4 * 1024 * 1024
+    cap = budget // (16 * L * m * 4)
+    t = 8
+    while t * 2 <= min(default, max(8, cap)):
+        t *= 2
+    return t
+
+
+def _common_operands(params, ctx):
+    """Reshape plan/rns tables to the kernel's (…, m1, 1, m2) layout."""
+    L, m = params.num_limbs, params.m
+    m1, m2 = _split_m(m)
+    plan = ctx.plan_Q
+    rns = ctx.rns
+    ft = ctx.fused
+
+    def tw2(t):  # (L, m) -> (L, m1, 1, m2)
+        return t.reshape(L, m1, 1, m2)
+
+    def tws2(t):  # (S/nbits, L, m) -> (S, L, m1, 1, m2)
+        return t.reshape(t.shape[0], L, m1, 1, m2)
+
+    return (
+        tw2(plan.pre_tw), tw2(plan.pre_tw_s),
+        tw2(plan.post_tw), tw2(plan.post_tw_s),
+        tws2(ft.fwd_full), tws2(ft.fwd_full_s),
+        tws2(ft.inv_full), tws2(ft.inv_full_s),
+        tws2(plan.mono_pow), tws2(plan.mono_pow_s),
+        plan.p[:, :, None, None], plan.mu[:, :, None, None],
+        rns.inv_pj_val, rns.inv_pj_shoup,
+        rns.s_mod[:, :, :, None, None], rns.offset[:, :, None, None],
+        rns.w_val[:, :, :, None, None], rns.w_shoup[:, :, :, None, None],
+    )
+
+
+def _to_kernel_layout(x, L, m1, m2):
+    """(B, L, m) -> (L, m1, B, m2)."""
+    B = x.shape[0]
+    return jnp.transpose(x.reshape(B, L, m1, m2), (1, 2, 0, 3))
+
+
+def _from_kernel_layout(x, L, m1, m2):
+    """(L, m1, B, m2) -> (B, L, m)."""
+    B = x.shape[2]
+    return jnp.transpose(x, (2, 0, 1, 3)).reshape(B, L, m1 * m2)
+
+
+def _pad_batch(tile, ua, a0, b0):
+    B = ua.shape[0]
+    padded = ((B + tile - 1) // tile) * tile
+    if padded != B:
+        padB = padded - B
+        ua = jnp.pad(ua, ((0, padB), (0, 0)))
+        a0 = jnp.pad(a0, ((0, padB), (0, 0), (0, 0)))
+        b0 = jnp.pad(b0, ((0, padB), (0, 0), (0, 0)))
+    return padded, ua, a0, b0
+
+
+def blind_rotate_fused(
+    params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
+    tile: int | None = None, interpret: bool = False,
+):
+    """Full n-step blind rotation, bootstrap key VMEM-resident (grid over
+    batch tiles only). ua: (B, n) mod-r exponents; a0, b0: (B, L, m).
+    Returns (a_acc, b_acc) of shape (B, L, m)."""
+    n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
+    m1, m2 = _split_m(m)
+    B = ua.shape[0]
+    if tile is None:
+        tile = _auto_tile(params, 64, streamed=False)
+    tile = min(tile, max(8, B))
+    padded, ua, a0, b0 = _pad_batch(tile, ua, a0, b0)
+    grid = (padded // tile,)
+
+    def acc_spec():
+        return pl.BlockSpec(
+            (L, m1, tile, m2), lambda t: (0, 0, t, 0), memory_space=pltpu.VMEM
+        )
+
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+
+    p_max = max(params.moduli)
+    kernel = partial(_rotate_kernel, n=n, l=l, L=L, m1=m1, m2=m2, p_max=p_max)
+    out_shape = [
+        jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),
+        jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),
+    ]
+    in_specs = [
+        pl.BlockSpec(
+            (n, tile, 1), lambda t: (0, t, 0), memory_space=pltpu.VMEM
+        ),              # ua (n, B, 1): step exponents
+        acc_spec(),     # a0
+        acc_spec(),     # b0
+        full(),         # bkey (resident)
+        full(),
+    ] + [full()] * 18
+    out_specs = [acc_spec(), acc_spec()]
+
+    a_lm, b_lm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(
+        ua.T[:, :, None],
+        _to_kernel_layout(a0, L, m1, m2),
+        _to_kernel_layout(b0, L, m1, m2),
+        bkey_hat.reshape(n, 2 * l, 2, L, m1, m2),
+        bkey_shoup.reshape(n, 2 * l, 2, L, m1, m2),
+        *_common_operands(params, ctx),
+    )
+    a_acc = _from_kernel_layout(a_lm, L, m1, m2)
+    b_acc = _from_kernel_layout(b_lm, L, m1, m2)
+    if padded != B:
+        a_acc = a_acc[:B]
+        b_acc = b_acc[:B]
+    return a_acc, b_acc
 
 
 def blind_rotate_streamed(
@@ -387,41 +529,31 @@ def blind_rotate_streamed(
     tile: int | None = None, interpret: bool = False,
 ):
     """Blind rotation with the bootstrap key STREAMED from HBM (grid axis over
-    key steps, Pallas double-buffers the per-step slice). Works at any n —
-    used when the key exceeds the VMEM budget (e.g. Params(512), ~600 MB).
-
-    ua: (B, n); a0, b0: (B, L, m). Returns (a_acc, b_acc) (B, L, m)."""
+    key steps, Pallas double-buffers the per-step slice). Works at any n."""
     n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
-    plan = ctx.plan_Q
-    rns = ctx.rns
-    ft = ctx.fused
+    m1, m2 = _split_m(m)
     B = ua.shape[0]
     if tile is None:
-        tile = _auto_tile(params, 32)
+        tile = _auto_tile(params, 16, streamed=True)
     tile = min(tile, max(8, B))
-    padded = ((B + tile - 1) // tile) * tile
-    if padded != B:
-        padB = padded - B
-        ua = jnp.pad(ua, ((0, padB), (0, 0)))
-        a0 = jnp.pad(a0, ((0, padB), (0, 0), (0, 0)))
-        b0 = jnp.pad(b0, ((0, padB), (0, 0), (0, 0)))
+    padded, ua, a0, b0 = _pad_batch(tile, ua, a0, b0)
     num_tiles = padded // tile
-    # limb-major accumulator layout (L, B, m): minor dims (T, m) fully tiled
-    a0_lm = jnp.transpose(a0, (1, 0, 2))
-    b0_lm = jnp.transpose(b0, (1, 0, 2))
 
     def acc_spec():
         return pl.BlockSpec(
-            (L, tile, m), lambda t, k: (0, t, 0), memory_space=pltpu.VMEM
+            (L, m1, tile, m2), lambda t, k: (0, 0, t, 0),
+            memory_space=pltpu.VMEM,
         )
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
     p_max = max(params.moduli)
-    kernel = partial(_rotate_step_kernel, n=n, l=l, L=L, m=m, p_max=p_max)
+    kernel = partial(
+        _rotate_step_kernel, n=n, l=l, L=L, m1=m1, m2=m2, p_max=p_max
+    )
     out_shape = [
-        jax.ShapeDtypeStruct((L, padded, m), jnp.uint32),
-        jax.ShapeDtypeStruct((L, padded, m), jnp.uint32),
+        jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),
+        jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),
     ]
     in_specs = [
         pl.BlockSpec(
@@ -430,14 +562,14 @@ def blind_rotate_streamed(
         acc_spec(),     # a0
         acc_spec(),     # b0
         pl.BlockSpec(
-            (1,) + bkey_hat.shape[1:], lambda t, k: (k, 0, 0, 0, 0),
+            (1, 2 * l, 2, L, m1, m2), lambda t, k: (k, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),              # bkey slice for step k (streamed)
         pl.BlockSpec(
-            (1,) + bkey_shoup.shape[1:], lambda t, k: (k, 0, 0, 0, 0),
+            (1, 2 * l, 2, L, m1, m2), lambda t, k: (k, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-    ] + [full()] * 19
+    ] + [full()] * 18
     out_specs = [acc_spec(), acc_spec()]
 
     a_lm, b_lm = pl.pallas_call(
@@ -449,121 +581,18 @@ def blind_rotate_streamed(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(
-        ua.T[:, :, None], a0_lm, b0_lm, bkey_hat, bkey_shoup,
-        plan.pre_tw[:, None, :], plan.pre_tw_s[:, None, :],
-        plan.post_tw[:, None, :], plan.post_tw_s[:, None, :],
-        ft.fwd_full[:, :, None, :], ft.fwd_full_s[:, :, None, :],
-        ft.inv_full[:, :, None, :], ft.inv_full_s[:, :, None, :],
-        ft.lane,
-        plan.mono_pow[:, :, None, :], plan.mono_pow_s[:, :, None, :],
-        plan.p[:, :, None], plan.mu[:, :, None],
-        rns.inv_pj_val, rns.inv_pj_shoup,
-        rns.s_mod[:, :, :, None], rns.offset[:, :, None],
-        rns.w_val[:, :, :, None], rns.w_shoup[:, :, :, None],
+        ua.T[:, :, None],
+        _to_kernel_layout(a0, L, m1, m2),
+        _to_kernel_layout(b0, L, m1, m2),
+        bkey_hat.reshape(n, 2 * l, 2, L, m1, m2),
+        bkey_shoup.reshape(n, 2 * l, 2, L, m1, m2),
+        *_common_operands(params, ctx),
     )
-    a_acc = jnp.transpose(a_lm, (1, 0, 2))
-    b_acc = jnp.transpose(b_lm, (1, 0, 2))
-    if padded != B:
-        a_acc = a_acc[:B]
-        b_acc = b_acc[:B]
-    return a_acc, b_acc
-
-
-import os as _os
-
-_TILE_ENV = _os.environ.get("SGFHE_TILE")
-
-
-def _auto_tile(params, default: int) -> int:
-    """Batch-tile size for the resident kernel. The per-tile VMEM working set
-    (digits + d_hat + accumulators, ~14 arrays of (L, tile, m) u32) must stay
-    under the ~16 MB scoped-vmem stack limit alongside the resident key, so
-    cap tile so that 16 * L * tile * m * 4 bytes <= 4 MB (measured: tile=64
-    at L=3, m=512 trips the limit at large batch counts; tile=32 is within
-    1% of its throughput and always fits)."""
-    if _TILE_ENV:
-        return int(_TILE_ENV)
-    L, m = params.num_limbs, params.m
-    cap = (4 * 1024 * 1024) // (16 * L * m * 4)
-    t = 8
-    while t * 2 <= min(default, max(8, cap)):
-        t *= 2
-    return t
-
-
-def blind_rotate_fused(
-    params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
-    tile: int | None = None, interpret: bool = False,
-):
-    """Run the full n-step blind rotation on a gate batch with one Pallas
-    kernel launch (grid over batch tiles; bootstrap key VMEM-resident).
-
-    ua: (B, n) mod-r rotation exponents; a0, b0: (B, L, m) initial
-    accumulators. Returns (a_acc, b_acc) of shape (B, L, m).
-    """
-    n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
-    plan = ctx.plan_Q
-    rns = ctx.rns
-    ft = ctx.fused
-    B = ua.shape[0]
-    if tile is None:
-        tile = _auto_tile(params, 64)
-    tile = min(tile, max(8, B))
-    padded = ((B + tile - 1) // tile) * tile
-    if padded != B:
-        padB = padded - B
-        ua = jnp.pad(ua, ((0, padB), (0, 0)))
-        a0 = jnp.pad(a0, ((0, padB), (0, 0), (0, 0)))
-        b0 = jnp.pad(b0, ((0, padB), (0, 0), (0, 0)))
-    grid = (padded // tile,)
-
-    def tile_spec(rank_tail):
-        # batch-tiled operand: block (tile, *tail), program i owns row-block i
-        return pl.BlockSpec(
-            (tile,) + rank_tail,
-            lambda i: (i,) + (0,) * len(rank_tail),
-            memory_space=pltpu.VMEM,
-        )
-
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-
-    p_max = max(params.moduli)
-    kernel = partial(_rotate_kernel, n=n, l=l, L=L, m=m, p_max=p_max)
-    out_shape = [
-        jax.ShapeDtypeStruct((padded, L, m), jnp.uint32),
-        jax.ShapeDtypeStruct((padded, L, m), jnp.uint32),
-    ]
-    in_specs = [
-        pl.BlockSpec(
-            (n, tile, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-        ),                      # ua (key-bit-major, (n, B, 1))
-        tile_spec((L, m)),      # a0
-        tile_spec((L, m)),      # b0
-    ] + [full()] * 21
-    out_specs = [tile_spec((L, m)), tile_spec((L, m))]
-
-    a_acc, b_acc = pl.pallas_call(
-        kernel,
-        grid=grid,
-        out_shape=out_shape,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        interpret=interpret,
-    )(
-        ua.T[:, :, None], a0, b0, bkey_hat, bkey_shoup,
-        plan.pre_tw[:, None, :], plan.pre_tw_s[:, None, :],
-        plan.post_tw[:, None, :], plan.post_tw_s[:, None, :],
-        ft.fwd_full[:, :, None, :], ft.fwd_full_s[:, :, None, :],
-        ft.inv_full[:, :, None, :], ft.inv_full_s[:, :, None, :],
-        ft.lane,
-        plan.mono_pow[:, :, None, :], plan.mono_pow_s[:, :, None, :],
-        plan.p[:, :, None], plan.mu[:, :, None],
-        rns.inv_pj_val, rns.inv_pj_shoup,
-        rns.s_mod[:, :, :, None], rns.offset[:, :, None],
-        rns.w_val[:, :, :, None], rns.w_shoup[:, :, :, None],
-    )
+    a_acc = _from_kernel_layout(a_lm, L, m1, m2)
+    b_acc = _from_kernel_layout(b_lm, L, m1, m2)
     if padded != B:
         a_acc = a_acc[:B]
         b_acc = b_acc[:B]

@@ -24,23 +24,45 @@ def setup64():
     return params, ctx, sk, bkey
 
 
-def test_roll_ntt_matches_plan_ntt(setup64):
-    params, ctx, _, _ = setup64
-    plan, ft = ctx.plan_Q, ctx.fused
+@pytest.mark.parametrize("m", [512, 4096])
+def test_tiled_lazy_ntt_matches_plan_ntt(m):
+    """The kernel's 2-D tiled lazy NTT must agree with ops/ntt (mod p) at
+    both the resident size (m=512) and the Params(512) size (m=4096)."""
+    from sgfhe_tpu.utils import primes as pr
+
+    mods = pr.find_rns_primes(2 * m, 1 << 54, 1 << 56, 2)
+    plan = ntt_mod.build_plan(mods, m)
+    ft = fm.build_fused(plan)
+    L = len(mods)
+    m1, m2 = fm._split_m(m)
+    B = 8
     x = jax.random.randint(
-        jax.random.key(3), (3, params.num_limbs, params.m), 0, 1 << 29,
-        dtype=jnp.int32,
+        jax.random.key(3), (B, L, m), 0, 1 << 29, dtype=jnp.int32
     ).astype(jnp.uint32) % plan.p
+
+    xk = fm._to_kernel_layout(x, L, m1, m2)   # (L, m1, B, m2)
+    tw2 = lambda t: t.reshape(L, m1, 1, m2)   # noqa: E731
+    tws2 = lambda t: t.reshape(t.shape[0], L, m1, 1, m2)  # noqa: E731
+    p4 = plan.p[:, :, None, None]
+    mu4 = plan.mu[:, :, None, None]
+    p_max = max(mods)
+
+    hat_lazy, c = fm._ntt_fwd_lazy(
+        xk, tw2(plan.pre_tw), tw2(plan.pre_tw_s),
+        tws2(ft.fwd_full), tws2(ft.fwd_full_s), p4, mu4, p_max, m1, m2,
+    )
+    hat = fm._from_kernel_layout(
+        fm.mm.mod_u32(hat_lazy, p4, mu4), L, m1, m2
+    )
     ref = ntt_mod.ntt_fwd(plan, x)
-    got = fm.ntt_fwd_roll(
-        x, plan.pre_tw, plan.pre_tw_s, ft.fwd_full, ft.fwd_full_s, ft.lane,
-        plan.p, params.m,
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(hat))
+
+    back = fm._ntt_inv_lazy(
+        fm.mm.mod_u32(hat_lazy, p4, mu4),
+        tw2(plan.post_tw), tw2(plan.post_tw_s),
+        tws2(ft.inv_full), tws2(ft.inv_full_s), p4, mu4, 1, p_max, m1, m2,
     )
-    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
-    back = fm.ntt_inv_roll(
-        got, plan.post_tw, plan.post_tw_s, ft.inv_full, ft.inv_full_s, ft.lane,
-        plan.p, params.m,
-    )
+    back = fm._from_kernel_layout(back, L, m1, m2)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
