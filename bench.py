@@ -5,8 +5,14 @@ target: >= 10^4; `vs_baseline` is measured/10^4). One bootstrap pass yields
 AND+OR+XOR of a pair, counted as one gate op (the reference's convention:
 one `bootstrap` call = one timed unit, test/performance.test.jl:114-139).
 
-Also reports NTT transforms/sec at n=512/1024 lengths as secondary metrics on
-stderr (BASELINE.md row 2).
+The bench DECRYPTS its outputs and asserts the gate truth tables on the
+attached device — a miscompiled kernel fails the run loudly instead of
+publishing a fast-but-wrong number. Secondary metrics on stderr: Params(512)
+gates/s, NTT transforms/s at n=512/1024, and VPU-roofline utilization
+(measured Shoup-mul ceiling vs the kernel's analytic op count).
+
+Env: SGFHE_BENCH_SKIP_512=1 skips the Params(512) column (it adds ~2 min of
+setup); SGFHE_TILE / SGFHE_FUSED tune the kernel dispatch (ops/fused.py).
 """
 
 import json
@@ -18,35 +24,63 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the n=512 streamed kernel takes ~2.5 min of
+# Mosaic compile cold; cached it is seconds
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-def bench_gates(batch=4096, n=64, iters=5):
+
+def setup(n):
     import sgfhe_tpu as F
 
     params = F.Params.create(n)
     ctx = F.make_context(params)
     key = jax.random.key(0)
-    k_sk, k_bk, k_a, k_b = jax.random.split(key, 4)
+    k_sk, k_bk, k_msg, k_enc = jax.random.split(key, 4)
     sk = F.PrivateKey.create(params, k_sk)
     bkey = F.BootstrapKey.create(ctx, sk, k_bk)
+    msg = jax.random.bernoulli(k_msg, 0.5, (params.n,))
+    ct = F.encrypt(sk, k_enc, msg)
+    bits = F.split_ciphertext(ct)
+    return params, ctx, sk, bkey, np.asarray(msg), bits
 
-    # random valid LWEs (uniform mod r — timing is data-independent)
-    a1 = jax.random.randint(k_a, (batch, n), 0, params.r, dtype=jnp.int32).astype(jnp.uint32)
-    a2 = jax.random.randint(k_b, (batch, n), 0, params.r, dtype=jnp.int32).astype(jnp.uint32)
-    b1 = a1[:, 0]
-    b2 = a2[:, 0]
-    lwe1 = F.LWE(a1, b1)
-    lwe2 = F.LWE(a2, b2)
 
-    # warmup/compile
+def bench_gates(n=64, batch=4096, iters=5):
+    """Returns (gates_per_sec, seconds_per_batch); asserts correctness."""
+    import sgfhe_tpu as F
+
+    params, ctx, sk, bkey, msg, bits = setup(n)
+    idx1 = np.arange(batch) % (params.n - 1)
+    idx2 = idx1 + 1
+    lwe1 = F.LWE(bits.lwe.a[idx1], bits.lwe.b[idx1])
+    lwe2 = F.LWE(bits.lwe.a[idx2], bits.lwe.b[idx2])
+
     out = F.bootstrap_batch(params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2)
     jax.block_until_ready(out[0].a)
 
+    # correctness gate: decrypt on-device, compare against plaintext logic
+    m1, m2 = msg[idx1], msg[idx2]
+    expected = [m1 & m2, m1 | m2, m1 ^ m2]
+    for name, lwe, e in zip(["AND", "OR", "XOR"], out, expected):
+        got = np.asarray(F.decrypt_bit(sk, F.EncryptedBit(lwe)))
+        if not (got == e).all():
+            print(
+                f"FATAL: n={n} {name} wrong for "
+                f"{int((got != e).sum())}/{batch} gates",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = F.bootstrap_batch(params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2)
+        out = F.bootstrap_batch(
+            params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2
+        )
     jax.block_until_ready(out[0].a)
     dt = (time.perf_counter() - t0) / iters
-    return batch / dt, dt
+    return batch / dt, dt, params
 
 
 def bench_ntt(n_poly, batch=4096, iters=10):
@@ -68,27 +102,54 @@ def bench_ntt(n_poly, batch=4096, iters=10):
     return batch / dt
 
 
+def report_roofline(params, gates_per_sec):
+    from sgfhe_tpu.utils import profiling
+
+    cost = profiling.op_cost(params)
+    try:
+        ceiling = profiling.measure_sme_rate()
+    except Exception as e:  # secondary metric; never break the headline
+        print(f"roofline microbench failed: {e}", file=sys.stderr)
+        return
+    achieved = gates_per_sec * cost.sme_per_gate
+    util = achieved / ceiling
+    print(
+        f"roofline n={params.n}: {cost.sme_per_gate/1e6:.1f}M shoup-equiv/"
+        f"gate; device ceiling {ceiling/1e9:.1f}G shoup/s; achieved "
+        f"{achieved/1e9:.1f}G -> {util*100:.0f}% VPU utilization",
+        file=sys.stderr,
+    )
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    gates_per_sec, dt = bench_gates(batch=batch)
-    if os.environ.get("SGFHE_BENCH_512"):
-        gps512, dt512 = bench_gates(batch=64, n=512, iters=3)
-        print(
-            f"bootstrap n=512: 64 gates in {dt512*1000:.1f} ms -> "
-            f"{gps512:.1f} gates/s",
-            file=sys.stderr,
-        )
+    gates_per_sec, dt, params64 = bench_gates(n=64, batch=batch)
     print(
-        f"bootstrap: {batch} gates in {dt*1000:.1f} ms -> {gates_per_sec:.1f} gates/s",
+        f"bootstrap n=64: {batch} gates in {dt*1000:.1f} ms -> "
+        f"{gates_per_sec:.1f} gates/s (truth tables verified)",
         file=sys.stderr,
     )
+    report_roofline(params64, gates_per_sec)
+    if not os.environ.get("SGFHE_BENCH_SKIP_512"):
+        try:
+            gps512, dt512, params512 = bench_gates(n=512, batch=64, iters=3)
+            print(
+                f"bootstrap n=512: 64 gates in {dt512*1000:.1f} ms -> "
+                f"{gps512:.1f} gates/s (truth tables verified)",
+                file=sys.stderr,
+            )
+            report_roofline(params512, gps512)
+        except SystemExit:
+            raise
+        except Exception as e:
+            print(f"n=512 bench failed: {e}", file=sys.stderr)
     for npoly in (512, 1024):
         try:
             tps = bench_ntt(npoly)
             print(f"ntt n={npoly}: {tps:.0f} transforms/s", file=sys.stderr)
-        except Exception as e:  # secondary metric; never break the headline
+        except Exception as e:
             print(f"ntt n={npoly} failed: {e}", file=sys.stderr)
     print(
         json.dumps(

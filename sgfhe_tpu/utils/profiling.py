@@ -6,10 +6,12 @@ library facility).
                           `block_until_ready` fencing and warmup.
 - `trace(path)`         — context manager around the JAX profiler; view the
                           result with TensorBoard or Perfetto.
-- `op_cost(params)`     — analytic per-gate cost model of the bootstrap
-                          (transform counts, multiply counts, key bytes
-                          streamed), for roofline sanity checks against
-                          measured numbers.
+- `op_cost(params)`     — analytic per-gate cost model of the fused
+                          blind-rotation kernel in Shoup-multiply
+                          equivalents (SME) + key bytes streamed, for
+                          roofline utilization against `measure_sme_rate`.
+- `measure_sme_rate()`  — microbenchmark of the device's achievable
+                          Shoup-multiply rate (the VPU uint32 ceiling).
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ import time
 from dataclasses import dataclass
 
 import jax
+import jax.numpy as jnp
 
 
 def timeit(fn, *args, iters: int = 5, warmup: int = 1):
@@ -44,27 +47,80 @@ def trace(path: str):
         jax.profiler.stop_trace()
 
 
+# Op weights in Shoup-multiply equivalents. One shoup_mul = mulhi (4 u16
+# multiplies + ~6 adds/shifts) + 2 low multiplies + subtract + select ≈ 15
+# elementary u32 VPU ops; the others are scaled against that.
+_W_SHOUP = 1.0
+_W_MODU32 = 0.6     # mulhi + mul + 2 cond-subtracts
+_W_ADDSEL = 0.15    # add/sub/compare/select
+
+
 @dataclass(frozen=True)
 class GateCost:
-    ntt_transforms: int        # length-m NTTs per gate (fwd + inv, all steps)
-    shoup_muls: int            # modular multiplies per gate (approximate)
-    key_bytes_streamed: int    # bootstrap-key bytes read per gate batch tile
-    vmem_tile_bytes: int       # accumulator working set per gate
+    sme_per_gate: float        # Shoup-multiply equivalents per gate (3 gates)
+    ntt_transforms: int        # length-m limb-transforms per gate
+    key_bytes: int             # bootstrap-key bytes (values + Shoup)
+    acc_bytes: int             # accumulator working set per gate
 
 
 def op_cost(params) -> GateCost:
-    """Analytic per-gate cost of one bootstrap pass (all three gates)."""
+    """Analytic per-gate cost of one bootstrap pass through the fused kernel
+    (ops/fused.py): n steps of [flatten x2, fwd NTT on 2l digit rows, gadget
+    accumulation, monomial ladder, inv NTT on 2 columns]."""
     n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
+    m1 = max(1, m // 128)
     S = m.bit_length() - 1
-    transforms = n * (2 * l + 2) * L
-    # per limb-transform: S stages x 1 mul; plus ladder/accum terms
-    ladder = n * 2 * L * m * (2 * m).bit_length()
-    accum = n * 2 * (2 * l + l) * L * m
-    muls = transforms * S * m // 2 * 2 + ladder + accum
-    key_bytes = n * (2 * l) * 2 * L * m * 4 * 2
-    return GateCost(
-        ntt_transforms=transforms,
-        shoup_muls=muls,
-        key_bytes_streamed=key_bytes,
-        vmem_tile_bytes=2 * L * m * 4,
+    maj = m1.bit_length() - 1          # butterfly stages (1 shoup / 2 elems)
+    lane = S - maj                     # roll+select stages (1 shoup / elem)
+    p_bits = max(params.moduli).bit_length()
+    # lazy-reduction resets: bound doubles per stage, reset when 2*c*p > 2^32
+    reset_every = max(1, 31 - p_bits)
+
+    elems = L * m                      # one limb-spread polynomial
+    # forward NTT per row: pre-twist + stages + periodic Barrett resets
+    fwd_row = (
+        elems * _W_SHOUP
+        + maj * (elems / 2 * _W_SHOUP + elems * 2 * _W_ADDSEL)
+        + lane * (elems * _W_SHOUP + elems * 3 * _W_ADDSEL)
+        + (S / reset_every) * elems * _W_MODU32
     )
+    inv_col = fwd_row  # same stage structure + post-twist ~ pre-twist
+    # flatten (a and b): extraction chain on single-limb rows + re-embed
+    chain = sum(i for i in range(L)) * (m * (_W_SHOUP + _W_MODU32 + _W_ADDSEL))
+    embed = L * (elems * (_W_MODU32 + _W_ADDSEL))
+    flatten2 = 2 * (chain + embed)
+    # gadget accumulation: 2l rows x 2 cols key muls + l x 2 w-muls + adds
+    accum = (2 * l * 2 + l * 2) * elems * (_W_SHOUP + _W_ADDSEL)
+    # monomial ladder: log2(2m) shoup+select on 2 columns
+    ladder = 2 * (2 * m).bit_length() * elems * (_W_SHOUP + 2 * _W_ADDSEL)
+
+    per_step = flatten2 + 2 * l * fwd_row + accum + ladder + 2 * inv_col
+    return GateCost(
+        sme_per_gate=n * per_step,
+        ntt_transforms=n * (2 * l + 2) * L,
+        key_bytes=n * (2 * l) * 2 * L * m * 4 * 2,
+        acc_bytes=2 * L * m * 4,
+    )
+
+
+def measure_sme_rate(batch: int = 1 << 16, chain: int = 64,
+                     iters: int = 10) -> float:
+    """Measured Shoup multiplies/second on the attached device: a jitted
+    chain of dependent shoup_muls over a flat array — enough arithmetic per
+    byte that HBM cannot be the bound. This is the denominator of the
+    bootstrap's VPU-roofline utilization."""
+    from ..ops import modmath as mm
+
+    p = jnp.uint32((1 << 27) + 1)
+    w = jnp.uint32(12345)
+    ws = jnp.uint32((12345 << 32) // ((1 << 27) + 1))
+    x = jnp.arange(batch, dtype=jnp.uint32) % p
+
+    @jax.jit
+    def f(x):
+        for _ in range(chain):
+            x = mm.shoup_mul(x, w, ws, p)
+        return x
+
+    dt, _ = timeit(f, x, iters=iters, warmup=2)
+    return batch * chain / dt
