@@ -112,11 +112,17 @@ def report_roofline(params, gates_per_sec):
         print(f"roofline microbench failed: {e}", file=sys.stderr)
         return
     achieved = gates_per_sec * cost.sme_per_gate
-    util = achieved / ceiling
+    ratio = achieved / ceiling
+    # the microbench is an ILP-16 dependent-chain rate — a LOWER bound on
+    # the true VPU throughput (CSE across the kernel's shared operands makes
+    # its effective per-multiply cost smaller), so ratio > 1 means the
+    # kernel is at/over the practically measurable uint32-multiply rate:
+    # further speedups must come from fewer multiplies, not scheduling.
     print(
         f"roofline n={params.n}: {cost.sme_per_gate/1e6:.1f}M shoup-equiv/"
-        f"gate; device ceiling {ceiling/1e9:.1f}G shoup/s; achieved "
-        f"{achieved/1e9:.1f}G -> {util*100:.0f}% VPU utilization",
+        f"gate analytic; sustained {achieved/1e9:.1f}G shoup-equiv/s = "
+        f"{ratio:.2f}x the measured chain-microbench rate "
+        f"({ceiling/1e9:.1f}G/s, itself a lower bound on the VPU ceiling)",
         file=sys.stderr,
     )
 

@@ -6,6 +6,12 @@ systematic noise growth would flip a bit within a few generations.
 Usage: python examples/depth.py [generations=100] [n=64]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import sys
 import time
 

@@ -2,6 +2,12 @@
 LWE error distribution after encryption, splitting, bootstrapping and packing
 against the paper's bounds (eprint 2018/637)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import sys
 
 import numpy as np

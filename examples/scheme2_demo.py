@@ -2,6 +2,12 @@
 encrypt and decrypt k-bit digits with both key types, construct the
 BootstrapKey."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax
 import jax.numpy as jnp

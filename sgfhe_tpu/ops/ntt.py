@@ -66,9 +66,6 @@ class NttPlan:
     pre_tw_s: jax.Array
     post_tw: jax.Array    # (L, m) ψ^{-i} * m^{-1}
     post_tw_s: jax.Array
-    psi_pow: jax.Array    # (L, 2m) ψ^k table (monomial evaluation)
-    psi_pow_s: jax.Array
-    eval_exp: jax.Array   # (m,) int32: 2*br(idx)+1
     # bit-ladder tables for gather-free monomial multiplication:
     # mono_pow[b, li, idx] = ψ^{E[idx] * 2^b mod 2m}; folding over the set
     # bits of a traced exponent u multiplies a hat vector by x^u using only
@@ -184,8 +181,6 @@ def build_plan(moduli: tuple[int, ...], m: int, negacyclic: bool = True) -> NttP
     inv_tw = tuple(
         (jnp.asarray(v), jnp.asarray(shoup_table(v))) for v in inv_stage_vals
     )
-    eval_exp = (2 * br + 1).astype(np.int32)
-
     return NttPlan(
         p=jnp.asarray(p_arr),
         mu=jnp.asarray(mu),
@@ -197,9 +192,6 @@ def build_plan(moduli: tuple[int, ...], m: int, negacyclic: bool = True) -> NttP
         pre_tw_s=jnp.asarray(shoup_table(pre)),
         post_tw=jnp.asarray(post),
         post_tw_s=jnp.asarray(shoup_table(post)),
-        psi_pow=jnp.asarray(psi_pow),
-        psi_pow_s=jnp.asarray(shoup_table(psi_pow)),
-        eval_exp=jnp.asarray(eval_exp),
         mono_pow=jnp.asarray(mono_pow),
         mono_pow_s=jnp.asarray(
             np.stack([shoup_table(mono_pow[b]) for b in range(nbits)])
@@ -280,23 +272,6 @@ def monomial_mul_hat(plan: NttPlan, x: jax.Array, u: jax.Array) -> jax.Array:
     return x
 
 
-def monomial_eval(plan: NttPlan, j: jax.Array):
-    """Hat-domain multiplier vector for x^j (j any int array, broadcast to
-    (..., 1, m) against limbs): returns (value, shoup) pair of shape
-    (..., L, m) gathered from the ψ-power tables."""
-    m = plan.length
-    j = jnp.asarray(j)
-    # exps: (..., 1, m); 2m is a power of two so the mod is a mask
-    exps = (plan.eval_exp * j[..., None, None].astype(jnp.int32)) & jnp.int32(
-        2 * m - 1
-    )
-    eb = jnp.broadcast_to(exps, exps.shape[:-2] + (plan.num_limbs, m))
-    w = jnp.take_along_axis(
-        jnp.broadcast_to(plan.psi_pow, eb.shape[:-2] + plan.psi_pow.shape), eb, axis=-1
-    )
-    ws = jnp.take_along_axis(
-        jnp.broadcast_to(plan.psi_pow_s, eb.shape[:-2] + plan.psi_pow_s.shape),
-        eb,
-        axis=-1,
-    )
-    return w, ws
+# (A gather-based `monomial_eval` existed here; the bit-ladder
+# `monomial_mul_hat` replaced it everywhere — TPU gathers are slow — so it
+# was removed rather than kept as untested dead code.)

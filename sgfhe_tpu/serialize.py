@@ -63,6 +63,163 @@ def public_ciphertext_from_bytes(params: Params, raw: bytes):
     return s1.PublicEncryptedCiphertext(params, jnp.asarray(a), jnp.asarray(b))
 
 
+# -- framed wire format (header + CRC32) ------------------------------------
+#
+# Frame: b"SGFW" | version u8 | type u8 | meta_len u16le | meta json |
+#        payload_len u64le | payload | crc32 u32le (over all preceding bytes,
+#        native/sgfhe_io.cpp CRC). Every scheme-1 object gets a framed
+#        encoding; numeric payloads use the dense width-packed codec, so an
+#        RLWE ciphertext costs log2(r) bits per coefficient and the bootstrap
+#        key max(log2 p_i) bits per residue (its Shoup companions are
+#        recomputed on load, halving the wire size).
+
+_WIRE_MAGIC = b"SGFW"
+_WIRE_VERSION = 1
+
+_T_PRIVATE_KEY = 1
+_T_PUBLIC_KEY = 2
+_T_BOOTSTRAP_KEY = 3
+_T_PACKED_CT = 4
+_T_CIPHERTEXT = 5
+_T_ENCRYPTED_BIT = 6
+_T_PRIVATE_CT = 7
+_T_PUBLIC_CT = 8
+
+
+def _frame(type_code: int, meta: dict, payload: bytes) -> bytes:
+    mb = json.dumps(meta, sort_keys=True).encode()
+    head = (
+        _WIRE_MAGIC
+        + bytes([_WIRE_VERSION, type_code])
+        + len(mb).to_bytes(2, "little")
+        + mb
+        + len(payload).to_bytes(8, "little")
+    )
+    body = head + payload
+    return body + native.crc32(body).to_bytes(4, "little")
+
+
+def _unframe(raw: bytes) -> tuple[int, dict, bytes]:
+    if raw[:4] != _WIRE_MAGIC:
+        raise ValueError("not an sgfhe wire frame (bad magic)")
+    if raw[4] != _WIRE_VERSION:
+        raise ValueError(f"unsupported wire version {raw[4]}")
+    crc_stored = int.from_bytes(raw[-4:], "little")
+    crc = native.crc32(raw[:-4])
+    if crc != crc_stored:
+        raise ValueError(
+            f"wire CRC mismatch: stored {crc_stored:#010x}, computed {crc:#010x}"
+        )
+    type_code = raw[5]
+    meta_len = int.from_bytes(raw[6:8], "little")
+    meta = json.loads(raw[8 : 8 + meta_len].decode())
+    off = 8 + meta_len
+    payload_len = int.from_bytes(raw[off : off + 8], "little")
+    payload = raw[off + 8 : off + 8 + payload_len]
+    if len(payload) != payload_len:
+        raise ValueError("truncated wire frame")
+    return type_code, meta, payload
+
+
+def _r_bits(params: Params) -> int:
+    return params.r.bit_length() - 1  # r is a power of two
+
+
+def to_wire(obj) -> bytes:
+    """Serialize a scheme-1 object to a self-describing CRC-checked frame."""
+    if isinstance(obj, s1.PrivateKey):
+        p = obj.params
+        return _frame(_T_PRIVATE_KEY, {"n": p.n},
+                      native.packbits(np.asarray(obj.key).astype(np.uint8)))
+    if isinstance(obj, s1.PublicKey):
+        p = obj.params
+        w = p.q.bit_length()
+        payload = (native.pack_uint(np.asarray(obj.k0), w)
+                   + native.pack_uint(np.asarray(obj.k1), w))
+        return _frame(_T_PUBLIC_KEY, {"n": p.n}, payload)
+    if isinstance(obj, s1.BootstrapKey):
+        p = obj.params
+        w = max(q.bit_length() for q in p.moduli)
+        payload = native.pack_uint(np.asarray(obj.hat), w)
+        return _frame(_T_BOOTSTRAP_KEY, {"n": p.n}, payload)
+    if isinstance(obj, (s1.PackedCiphertext, s1.Ciphertext)):
+        p = obj.params
+        code = _T_PACKED_CT if isinstance(obj, s1.PackedCiphertext) else _T_CIPHERTEXT
+        w = _r_bits(p)
+        payload = (native.pack_uint(np.asarray(obj.rlwe.a), w)
+                   + native.pack_uint(np.asarray(obj.rlwe.b), w))
+        return _frame(code, {"n": p.n}, payload)
+    if isinstance(obj, s1.EncryptedBit):
+        a = np.asarray(obj.lwe.a)
+        b = np.atleast_1d(np.asarray(obj.lwe.b))
+        n = a.shape[-1]
+        batch = int(np.prod(a.shape[:-1], dtype=np.int64)) if a.ndim > 1 else 0
+        # width: bits must cover mod-r values; n determines r = 16n
+        w = (16 * n).bit_length() - 1
+        payload = native.pack_uint(a, w) + native.pack_uint(b, w)
+        return _frame(_T_ENCRYPTED_BIT, {"n": n, "batch": batch}, payload)
+    if isinstance(obj, s1.PrivateEncryptedCiphertext):
+        return _frame(_T_PRIVATE_CT, {"n": obj.params.n},
+                      private_ciphertext_to_bytes(obj))
+    if isinstance(obj, s1.PublicEncryptedCiphertext):
+        return _frame(_T_PUBLIC_CT, {"n": obj.params.n},
+                      public_ciphertext_to_bytes(obj))
+    raise TypeError(f"no wire format for {type(obj)}")
+
+
+def from_wire(raw: bytes):
+    """Parse a wire frame back into its object (CRC verified)."""
+    type_code, meta, payload = _unframe(raw)
+    if type_code == _T_ENCRYPTED_BIT:
+        n = meta["n"]
+        batch = meta["batch"]
+        w = (16 * n).bit_length() - 1
+        rows = max(batch, 1)
+        a_bytes = (rows * n * w + 7) // 8
+        a = native.unpack_uint(payload[:a_bytes], rows * n, w)
+        b = native.unpack_uint(payload[a_bytes:], rows, w)
+        if batch == 0:
+            return s1.EncryptedBit(
+                s1.LWE(jnp.asarray(a), jnp.asarray(b[0]))
+            )
+        return s1.EncryptedBit(
+            s1.LWE(jnp.asarray(a.reshape(batch, n)), jnp.asarray(b))
+        )
+    params = Params.create(meta["n"])
+    if type_code == _T_PRIVATE_KEY:
+        bits = native.unpackbits(payload, params.n)
+        return s1.PrivateKey(params, jnp.asarray(bits.astype(np.uint32)))
+    if type_code == _T_PUBLIC_KEY:
+        w = params.q.bit_length()
+        half = (params.n * w + 7) // 8
+        k0 = native.unpack_uint(payload[:half], params.n, w)
+        k1 = native.unpack_uint(payload[half:], params.n, w)
+        return s1.PublicKey(params, jnp.asarray(k0), jnp.asarray(k1))
+    if type_code == _T_BOOTSTRAP_KEY:
+        n, l, L, m = (params.n, params.num_digits, params.num_limbs, params.m)
+        w = max(q.bit_length() for q in params.moduli)
+        count = n * 2 * l * 2 * L * m
+        hat = native.unpack_uint(payload, count, w).reshape(n, 2 * l, 2, L, m)
+        mods = np.array(params.moduli, dtype=np.uint64).reshape(1, 1, 1, L, 1)
+        shoup = ((hat.astype(np.uint64) << np.uint64(32)) // mods).astype(
+            np.uint32
+        )
+        return s1.BootstrapKey(params, jnp.asarray(hat), jnp.asarray(shoup))
+    if type_code in (_T_PACKED_CT, _T_CIPHERTEXT):
+        length = params.n if type_code == _T_PACKED_CT else params.m
+        w = _r_bits(params)
+        a_bytes = (length * w + 7) // 8
+        a = native.unpack_uint(payload[:a_bytes], length, w)
+        b = native.unpack_uint(payload[a_bytes:], length, w)
+        cls = s1.PackedCiphertext if type_code == _T_PACKED_CT else s1.Ciphertext
+        return cls(params, s1.RLWE(jnp.asarray(a), jnp.asarray(b)))
+    if type_code == _T_PRIVATE_CT:
+        return private_ciphertext_from_bytes(params, payload)
+    if type_code == _T_PUBLIC_CT:
+        return public_ciphertext_from_bytes(params, payload)
+    raise ValueError(f"unknown wire type code {type_code}")
+
+
 # -- key / object checkpointing ---------------------------------------------
 
 

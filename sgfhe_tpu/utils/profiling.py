@@ -103,12 +103,15 @@ def op_cost(params) -> GateCost:
     )
 
 
-def measure_sme_rate(batch: int = 1 << 16, chain: int = 64,
+def measure_sme_rate(batch: int = 1 << 19, chain: int = 64, lanes: int = 16,
                      iters: int = 10) -> float:
-    """Measured Shoup multiplies/second on the attached device: a jitted
-    chain of dependent shoup_muls over a flat array — enough arithmetic per
-    byte that HBM cannot be the bound. This is the denominator of the
-    bootstrap's VPU-roofline utilization."""
+    """Measured Shoup multiplies/second on the attached device: `lanes`
+    INDEPENDENT chains of dependent shoup_muls over a 512K-element array
+    (~270M multiplies per call). The independent chains give the VPU
+    instruction-level parallelism inside each fused block — a single chain
+    measures op latency, not throughput. Launch overhead and HBM traffic are
+    both negligible at this size. This is the denominator of the bootstrap's
+    VPU-roofline utilization."""
     from ..ops import modmath as mm
 
     p = jnp.uint32((1 << 27) + 1)
@@ -118,9 +121,13 @@ def measure_sme_rate(batch: int = 1 << 16, chain: int = 64,
 
     @jax.jit
     def f(x):
+        ys = [x + jnp.uint32(i) for i in range(lanes)]
         for _ in range(chain):
-            x = mm.shoup_mul(x, w, ws, p)
-        return x
+            ys = [mm.shoup_mul(y, w, ws, p) for y in ys]
+        acc = ys[0]
+        for y in ys[1:]:
+            acc = acc ^ y
+        return acc
 
     dt, _ = timeit(f, x, iters=iters, warmup=2)
-    return batch * chain / dt
+    return batch * chain * lanes / dt

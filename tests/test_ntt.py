@@ -57,17 +57,15 @@ def test_polymul_vs_oracle():
         np.testing.assert_array_equal(got[li], expect)
 
 
-def test_monomial_eval_matches_coefficient_rotation():
+def test_monomial_mul_hat_matches_coefficient_rotation():
     plan, mods = make_plan(m=32, nlimbs=2)
     rng = np.random.default_rng(2)
     a = np.stack([rng.integers(0, p, size=32, dtype=np.uint32) for p in mods])
     m = 32
-    from sgfhe_tpu.ops import modmath as mm
 
     a_hat = ntt.ntt_fwd(plan, jnp.asarray(a))
     for j in (0, 1, 5, 31, 32, 33, 63):
-        w, ws = ntt.monomial_eval(plan, jnp.asarray(j))
-        rot_hat = mm.shoup_mul(a_hat, w, ws, plan.p)
+        rot_hat = ntt.monomial_mul_hat(plan, a_hat, jnp.asarray(j))
         rot = np.asarray(ntt.ntt_inv(plan, rot_hat))
         # oracle: multiply by x^j with negacyclic wrap
         for li, p in enumerate(mods):

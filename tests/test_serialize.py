@@ -59,3 +59,61 @@ def test_key_checkpoint_roundtrip(tmp_path, setup):
     serialize.save(path2, pk)
     pk2 = serialize.load(path2)
     assert (np.asarray(pk2.k0) == np.asarray(pk.k0)).all()
+
+
+def test_wire_roundtrip_all_types(setup):
+    """Framed wire format: every scheme-1 object roundtrips bit-exactly and
+    the restored objects WORK (decrypt/bootstrap against the originals)."""
+    params, ctx, sk, pk, msg, k_enc = setup
+    bkey = F.BootstrapKey.create(ctx, sk, jax.random.key(5))
+    ct = F.encrypt(sk, k_enc, msg)
+    bits = F.split_ciphertext(ct)
+    packed = F.pack_encrypted_bits(params, ctx, bkey, bits)
+    opt = F.encrypt_optimal(sk, k_enc, msg)
+    opt_pub = F.encrypt_optimal(pk, ctx, k_enc, msg)
+
+    # keys
+    sk2 = serialize.from_wire(serialize.to_wire(sk))
+    assert (np.asarray(sk2.key) == np.asarray(sk.key)).all()
+    pk2 = serialize.from_wire(serialize.to_wire(pk))
+    assert (np.asarray(pk2.k0) == np.asarray(pk.k0)).all()
+    assert (np.asarray(pk2.k1) == np.asarray(pk.k1)).all()
+    bk2 = serialize.from_wire(serialize.to_wire(bkey))
+    assert (np.asarray(bk2.hat) == np.asarray(bkey.hat)).all()
+    assert (np.asarray(bk2.hat_shoup) == np.asarray(bkey.hat_shoup)).all()
+
+    # ciphertexts
+    ct2 = serialize.from_wire(serialize.to_wire(ct))
+    assert (np.asarray(F.decrypt(sk2, ct2)) == np.asarray(msg)).all()
+    pq2 = serialize.from_wire(serialize.to_wire(packed))
+    assert type(pq2).__name__ == "Ciphertext"
+    assert (np.asarray(F.decrypt(sk, pq2)) == np.asarray(msg)).all()
+    eb2 = serialize.from_wire(serialize.to_wire(bits))
+    assert (np.asarray(eb2.lwe.a) == np.asarray(bits.lwe.a)).all()
+    assert (np.asarray(eb2.lwe.b) == np.asarray(bits.lwe.b)).all()
+    one = F.EncryptedBit(F.LWE(bits.lwe.a[0], bits.lwe.b[0]))
+    one2 = serialize.from_wire(serialize.to_wire(one))
+    assert one2.lwe.a.ndim == 1
+    assert (np.asarray(one2.lwe.a) == np.asarray(one.lwe.a)).all()
+    o2 = serialize.from_wire(serialize.to_wire(opt))
+    dec = F.decrypt(sk, F.normalize_ciphertext(o2))
+    assert (np.asarray(dec) == np.asarray(msg)).all()
+    op2 = serialize.from_wire(serialize.to_wire(opt_pub))
+    dec = F.decrypt(sk, F.normalize_ciphertext(op2))
+    assert (np.asarray(dec) == np.asarray(msg)).all()
+
+    # wire sizes: RLWE ciphertext is log2(r) bits/coefficient + fixed header
+    raw = serialize.to_wire(ct)
+    w = params.r.bit_length() - 1
+    assert len(raw) <= 2 * ((params.n * w + 7) // 8) + 64
+
+
+def test_wire_corruption_detected(setup):
+    params, ctx, sk, pk, msg, k_enc = setup
+    raw = bytearray(serialize.to_wire(sk))
+    raw[len(raw) // 2] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        serialize.from_wire(bytes(raw))
+    # truncation is also caught
+    with pytest.raises(ValueError):
+        serialize.from_wire(bytes(raw[:10]))
