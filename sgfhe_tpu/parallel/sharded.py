@@ -30,12 +30,30 @@ from ..ops import poly as pol
 from ..ops import rns as rns_mod
 
 
+def _pad_to(batch_arrays, multiple: int):
+    """Pad leading (gate) axis up to a multiple; returns (padded, original)."""
+    B = batch_arrays[0].shape[0]
+    padded = ((B + multiple - 1) // multiple) * multiple
+    if padded == B:
+        return batch_arrays, B
+    out = []
+    for a in batch_arrays:
+        pad = [(0, padded - B)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, pad))
+    return out, B
+
+
 def bootstrap_batch_sharded(params: Params, ctx: SchemeContext, bkey, lwe1: LWE,
                             lwe2: LWE, mesh):
     """Gate batch sharded over every mesh device ('dp' and 'tp' both act as
-    data axes here); bkey and context replicated."""
+    data axes here); bkey and context replicated. Any batch size works — the
+    batch is zero-padded up to the device count and trimmed on return."""
     spec_b = P(("dp", "tp"))
     spec_r = P()
+    ndev = mesh.devices.size
+    (a1, b1, a2, b2), B = _pad_to([lwe1.a, lwe1.b, lwe2.a, lwe2.b], ndev)
+    lwe1 = LWE(a1, b1)
+    lwe2 = LWE(a2, b2)
 
     @partial(
         shard_map,
@@ -56,7 +74,7 @@ def bootstrap_batch_sharded(params: Params, ctx: SchemeContext, bkey, lwe1: LWE,
         return tuple(out)
 
     res = run(bkey.hat, bkey.hat_shoup, ctx, (lwe1.a, lwe1.b), (lwe2.a, lwe2.b))
-    return tuple(LWE(a, b) for a, b in res)
+    return tuple(LWE(a[:B], b[:B]) for a, b in res)
 
 
 def pack_encrypted_bits_sharded(params: Params, ctx: SchemeContext, bkey,
@@ -141,11 +159,20 @@ def scheme2_encrypt_batch_sharded(sk2, keys, messages, mesh):
     """Private-key encrypt a batch of scheme-2 message blocks, sharded.
 
     keys: (B,) PRNG keys; messages: (B, n) ints in [0, 2^k).
-    Returns (a, b) with leading batch axis, sharded over ('dp','tp')."""
+    Returns (a, b) with leading batch axis, sharded over ('dp','tp').
+    Any B works (padded up to the device count, trimmed on return)."""
     from ..models import scheme2 as s2
 
     params2 = sk2.params
     spec_b = P(("dp", "tp"))
+    ndev = mesh.devices.size
+    B = messages.shape[0]
+    padded = ((B + ndev - 1) // ndev) * ndev
+    if padded != B:
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(keys[:1], (padded - B,) + keys.shape[1:])]
+        )
+        messages = jnp.pad(messages, ((0, padded - B), (0, 0)))
 
     @partial(
         shard_map,
@@ -160,7 +187,8 @@ def scheme2_encrypt_batch_sharded(sk2, keys, messages, mesh):
             keys_, msgs_
         )
 
-    return run(sk2.key, keys, messages)
+    a, b = run(sk2.key, keys, messages)
+    return a[:B], b[:B]
 
 
 def scheme2_decrypt_batch_sharded(sk2, a, b, mesh):
@@ -169,6 +197,8 @@ def scheme2_decrypt_batch_sharded(sk2, a, b, mesh):
 
     params2 = sk2.params
     spec_b = P(("dp", "tp"))
+    ndev = mesh.devices.size
+    (a, b), B = _pad_to([a, b], ndev)
 
     @partial(
         shard_map,
@@ -181,4 +211,4 @@ def scheme2_decrypt_batch_sharded(sk2, a, b, mesh):
         sk = s2.PrivateKey(params2, s_bits)
         return jax.vmap(lambda aa, bb: s2.decrypt(sk, aa, bb))(a_, b_)
 
-    return run(sk2.key, a, b)
+    return run(sk2.key, a, b)[:B]

@@ -45,6 +45,17 @@ def test_sharded_bootstrap_matches_single(setup64):
         np.testing.assert_array_equal(np.asarray(s.a), np.asarray(m_.a))
         np.testing.assert_array_equal(np.asarray(s.b), np.asarray(m_.b))
 
+    # a batch NOT divisible by the device count must pad + trim transparently
+    odd1 = F.LWE(lwe1.a[:5], lwe1.b[:5])
+    odd2 = F.LWE(lwe2.a[:5], lwe2.b[:5])
+    multi_odd = sharded.bootstrap_batch_sharded(
+        params, ctx, bkey, odd1, odd2, mesh
+    )
+    for s, m_ in zip(single, multi_odd):
+        assert m_.a.shape[0] == 5
+        np.testing.assert_array_equal(np.asarray(s.a)[:5], np.asarray(m_.a))
+        np.testing.assert_array_equal(np.asarray(s.b)[:5], np.asarray(m_.b))
+
 
 @pytest.mark.slow  # ~5 min on CPU: two full n=64 packs (compile + run)
 def test_sharded_pack_matches_single(setup64):
