@@ -25,6 +25,12 @@ if "--virtual" in sys.argv or os.environ.get("JAX_PLATFORMS") == "cpu":
         ).strip()
 
 import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # effective even when a TPU plugin was wired in at interpreter start
+    # (sitecustomize), as long as no backend has initialized yet
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 
 import sgfhe_tpu as F  # noqa: E402

@@ -48,16 +48,18 @@ FUSED_MODE = os.environ.get("SGFHE_FUSED", "auto")
 _FUSED_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _use_fused(params: Params, flat_key) -> tuple[str, bool]:
+def _use_fused(params: Params, flat_key=None) -> tuple[str, bool]:
     """(kernel, interpret): kernel is 'none' (jnp path), 'resident' (key in
     VMEM for the whole rotation) or 'streamed' (key double-buffered from HBM
-    — any size). Randomized flattening always takes the jnp path."""
-    if flat_key is not None or FUSED_MODE == "never":
+    — any size). Both serve randomized flattening too (in-kernel PRNG
+    masks; the jnp path draws its masks from the jax.random stream instead,
+    so the two randomized paths are distribution- but not bit-identical)."""
+    if FUSED_MODE == "never":
         return "none", False
     resident_ok = fused_mod.fused_bkey_vmem_bytes(params) <= _FUSED_VMEM_BUDGET
     kernel = "resident" if resident_ok else "streamed"
     if FUSED_MODE == "interpret":
-        return kernel if kernel != "none" else "streamed", True
+        return kernel, True
     if FUSED_MODE in ("resident", "streamed"):
         kernel = FUSED_MODE
     return (kernel if jax.default_backend() == "tpu" else "none"), False
@@ -144,15 +146,22 @@ def bootstrap_internal(
     a_acc = jnp.zeros((batch, L, m), dtype=jnp.uint32)
 
     fused_kernel, fused_interp = fused
-    if fused_kernel == "resident" and flat_key is None:
-        a_acc, b_acc = fused_mod.blind_rotate_fused(
-            params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc,
-            interpret=fused_interp,
+    if fused_kernel in ("resident", "streamed"):
+        # randomized mode: fold the PRNG key into a 32-bit seed for the
+        # in-kernel PRNG (per-tile/per-step streams derive from it)
+        seed = None
+        if flat_key is not None:
+            seed = jax.random.bits(flat_key, (1, 1), jnp.uint32).astype(
+                jnp.int32
+            )
+        rotate = (
+            fused_mod.blind_rotate_fused
+            if fused_kernel == "resident"
+            else fused_mod.blind_rotate_streamed
         )
-    elif fused_kernel == "streamed" and flat_key is None:
-        a_acc, b_acc = fused_mod.blind_rotate_streamed(
+        a_acc, b_acc = rotate(
             params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc,
-            interpret=fused_interp,
+            interpret=fused_interp, seed=seed,
         )
     else:
         if flat_key is not None:

@@ -218,6 +218,88 @@ def _ntt_inv_lazy(x, post, post_s, inv, inv_s, p, mu, c_in: int,
     return jnp.where(x >= p, x - p, x)
 
 
+def _mix32(x):
+    """32-bit finalizer mixer (splitmix32 constants): full avalanche."""
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _rand_u32(ctr, tweak):
+    """Counter-based uniform u32: double-mixed (counter, tweak) hash."""
+    return _mix32(_mix32(ctr + tweak) ^ (tweak * np.uint32(0x9E3779B9)))
+
+
+def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
+                    L: int, moduli: tuple, rnd):
+    """In-kernel RANDOMIZED flatten (mirrors ops/rns.flatten_random): mask
+    each digit with a fresh draw from [-3*s_i, 3*s_i], deterministically
+    flatten the unmasked remainder, and add the masks back. Digit bound
+    (-2p_i, 2p_i), the reference's (-2B, 2B] guarantee (src/utils.jl:198-241).
+
+    rnd = (seed, step_k, op_id, gate_offset): masks come from a counter-based
+    hash PRNG over the GLOBAL (gate, coefficient, step, digit, operand)
+    coordinates, so the stream is identical on every backend and for every
+    batch-tile size. 48 random bits per mask value -> statistical distance
+    < 2^-16 from uniform, like the jnp path. The generator is a statistical
+    (not cryptographic) PRG — the same posture as the reference, whose
+    MersenneTwister masks carry an in-code TODO for SHAKE
+    (src/utils.jl:63-68)."""
+    seed, step_k, op_id, gate_off = rnd
+    m1_, T_, m2_ = x.shape[1:]
+    i1 = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 0)
+    it = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 1) + gate_off
+    i2 = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 2)
+    # unique element counter per (global gate, coefficient)
+    ctr = (it * np.uint32(m1_) + i1) * np.uint32(m2_) + i2
+    seed = seed.astype(jnp.uint32)
+    k32 = step_k.astype(jnp.uint32) if hasattr(step_k, "astype") else jnp.uint32(step_k)
+
+    masks = []
+    rand_x = x
+    w_int = 1  # gadget weight w_i = prod_{j<i} p_j as a Python int
+    for i in range(L):
+        if i:
+            w_int *= moduli[i - 1]
+        s3 = 3 * ((moduli[i] - 1) // 2)
+        span = np.uint32(2 * s3 + 1)
+        mu_span = np.uint32(mm.barrett_mu(int(span)))
+        c16 = np.uint32((1 << 16) % int(span))
+        c16_s = np.uint32(mm.shoup_const(int(c16), int(span)))
+        salt = _mix32(
+            seed + ((k32 * np.uint32(L) + np.uint32(i)) * np.uint32(2)
+                    + jnp.uint32(op_id)) * np.uint32(0x632BE59B)
+        )
+        a_bits = _rand_u32(ctr, salt)
+        b_bits = _rand_u32(ctr, salt + np.uint32(0x61C88647))
+        t = mm.mod_u32(a_bits, span, mu_span)
+        t = mm.shoup_mul(t, c16, c16_s, span)      # t * 2^16 mod span
+        v = t + (b_bits & np.uint32(0xFFFF))       # < span + 2^16
+        v = jnp.where(v >= span, v - span, v)
+        # embed (v - 3 s_i) into every limb, and subtract mask_i * w_i from
+        # rand_x. Per-limb SCALAR constants only — Pallas bodies may not
+        # capture numpy arrays.
+        e_limbs = []
+        contrib_limbs = []
+        for kq, q in enumerate(moduli):
+            pk = np.uint32(q)
+            muk = np.uint32(mm.barrett_mu(q))
+            ek = mm.mod_u32(v, pk, muk)
+            ek = mm.submod(ek, np.uint32(s3 % q), pk)
+            e_limbs.append(ek)
+            wv = np.uint32(w_int % q)
+            wsh = np.uint32(mm.shoup_const(int(wv), q))
+            contrib_limbs.append(mm.shoup_mul(ek, wv, wsh, pk))
+        e = jnp.stack(e_limbs)                     # (L, m1, T, m2)
+        masks.append(e)
+        rand_x = mm.submod(rand_x, jnp.stack(contrib_limbs), p)
+    digs = _flatten_k(rand_x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L)
+    return [mm.addmod(d, mk, p) for d, mk in zip(digs, masks)]
+
+
 def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int):
     """In-kernel mixed-radix balanced flatten (mirrors ops/rns.flatten) in the
     limb-major layout: x (L, m1, T, m2) -> list of L digits, each (L, m1, T,
@@ -243,42 +325,72 @@ def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int):
 
 
 def _rotate_body(
-    a_acc, b_acc, ck, cks, u_k,
+    a_acc, b_acc, t_a, t_b, ck, cks, u_k,
     pre, pre_s, post, post_s, fwd, fwd_s, inv, inv_s, mono, mono_s,
-    p, mu, ipj, ipj_s, smod, off, wval, wshoup,
+    p, mu, ipj, ipj_s, smod, off,
     *, l: int, L: int, m1: int, m2: int, p_max: int,
+    randomized: bool = False, moduli: tuple = (), rnd=None,
+    wval=None, wshoup=None,
 ):
     """One blind-rotation step on a batch tile.
 
-    a_acc, b_acc: (L, m1, T, m2) canonical residues.
+    a_acc, b_acc: (L, m1, T, m2) canonical residues; t_a, t_b: the hat-domain
+    accumulators (canonical) — NTT(a_acc)/NTT(b_acc). Because the gadget
+    identity sum_i w_i * digit_i == x holds mod every limb, the gadget
+    T-term of the external product IS the hat of the pre-flatten accumulator
+    (for the randomized flatten too: the masks cancel, mask_i*w_i was
+    subtracted before flattening). Carrying it from the previous step's
+    `val` replaces 2l w-multiplies per step with zero work — a win for the
+    VMEM-resident kernel; the streamed kernel instead passes t_a=t_b=None
+    with wval/wshoup tables and computes T by w-multiplies (measured: the
+    extra carried state costs it more than the multiplies, v5e n=512).
+
     ck/cks: (2l, 2, L, m1, m2) key slice; u_k: (T, 1) exponents.
+    randomized=True uses the counter-hash PRNG masks; rnd = (seed, step_k,
+    gate_offset) identifies the stream.
+
+    Returns (a_acc', b_acc', t_a', t_b'), all canonical.
     """
-    da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L)
-    db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L)
+    if randomized:
+        seed, step_k, gate_off = rnd
+        da = _flatten_rand_k(a_acc, p, mu, ipj, ipj_s, smod, off, L, moduli,
+                             (seed, step_k, 0, gate_off))
+        db = _flatten_rand_k(b_acc, p, mu, ipj, ipj_s, smod, off, L, moduli,
+                             (seed, step_k, 1, gate_off))
+    else:
+        da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L)
+        db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L)
     digits = jnp.stack(da + db, axis=0)  # (2l, L, m1, T, m2)
     d_hat, _ = _ntt_fwd_lazy(digits, pre, pre_s, fwd, fwd_s, p, mu, p_max,
                              m1, m2)
 
     outs = []
-    for c in range(2):
+    t_outs = []
+    for c, t_carry in ((0, t_a), (1, t_b)):
         # lazy accumulation: each Shoup product < 2p, bounds tracked below
         s_acc = None
-        t_acc = None
         for row in range(2 * l):
             prod = mm.shoup_mul_lazy(
                 d_hat[row], ck[row, c][:, :, None, :], cks[row, c][:, :, None, :],
                 p,
             )
             s_acc = prod if s_acc is None else s_acc + prod
-        for i in range(l):
-            row = i if c == 0 else l + i
-            wprod = mm.shoup_mul_lazy(d_hat[row], wval[i], wshoup[i], p)
-            t_acc = wprod if t_acc is None else t_acc + wprod
-        cs = ct = 2 * (2 * l)  # bound multipliers (in units of p)
+        cs = 2 * (2 * l)  # bound multiplier (units of p)
+        if t_carry is not None:
+            t_acc, ct = t_carry, 1  # canonical hat carried from last step
+        else:
+            t_acc = None
+            for i in range(l):
+                row = i if c == 0 else l + i
+                wprod = mm.shoup_mul_lazy(d_hat[row], wval[i], wshoup[i], p)
+                t_acc = wprod if t_acc is None else t_acc + wprod
+            ct = 2 * l
         if (2 * cs + ct) * p_max > _U32_LIMIT:
             s_acc = mm.mod_u32(s_acc, p, mu)
-            t_acc = mm.mod_u32(t_acc, p, mu)
-            cs = ct = 1
+            cs = 1
+            if ct > 1:
+                t_acc = mm.mod_u32(t_acc, p, mu)
+                ct = 1
         # monomial bit-ladder: rot = x^{u_k} * s_acc (bound stays cs*p:
         # multiplied lanes drop under 2p <= cs*p, others keep cs*p)
         rot = s_acc
@@ -288,11 +400,19 @@ def _rotate_body(
             rot = jnp.where(bit, y, rot)  # (1, 1, T, 1) vs (L, m1, T, m2)
         # val = rot - s_acc + t_acc, kept nonnegative via +cs*p
         val = rot + (jnp.uint32(cs) * p - s_acc) + t_acc
+        if t_carry is not None:
+            # canonical copy becomes the next step's T-term
+            val = mm.mod_u32(val, p, mu)
+            t_outs.append(val)
+            c_in = 1
+        else:
+            t_outs.append(None)
+            c_in = 2 * cs + ct
         outs.append(
             _ntt_inv_lazy(val, post, post_s, inv, inv_s, p, mu,
-                          2 * cs + ct, p_max, m1, m2)
+                          c_in, p_max, m1, m2)
         )
-    return outs[0], outs[1]
+    return outs[0], outs[1], t_outs[0], t_outs[1]
 
 
 def _rotate_kernel(
@@ -302,12 +422,16 @@ def _rotate_kernel(
     fwd_ref, fwd_s_ref, inv_ref, inv_s_ref,
     mono_ref, mono_s_ref,
     p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
-    wval_ref, wshoup_ref,
+    seed_ref,
     # outputs
     a_out_ref, b_out_ref,
     *, n: int, l: int, L: int, m1: int, m2: int, p_max: int,
+    randomized: bool = False, moduli: tuple = (),
 ):
     """Resident kernel: whole bootstrap key in VMEM, fori_loop over steps."""
+    tile = a0_ref.shape[2]
+    gate_off = (pl.program_id(0) * jnp.int32(tile)).astype(jnp.uint32)
+    seed = seed_ref[0, 0]
     p = p_ref[:]          # (L, 1, 1, 1)
     mu = mu_ref[:]
     consts = dict(
@@ -315,21 +439,33 @@ def _rotate_kernel(
         post_s=post_s_ref[:], fwd=fwd_ref[:], fwd_s=fwd_s_ref[:],
         inv=inv_ref[:], inv_s=inv_s_ref[:], mono=mono_ref[:],
         mono_s=mono_s_ref[:], p=p, mu=mu, ipj=ipj_ref[:], ipj_s=ipj_s_ref[:],
-        smod=smod_ref[:], off=off_ref[:], wval=wval_ref[:],
-        wshoup=wshoup_ref[:],
+        smod=smod_ref[:], off=off_ref[:],
     )
 
+    def hat_of(x):  # canonical hat of a coefficient-domain accumulator
+        h, _ = _ntt_fwd_lazy(
+            x, consts["pre"], consts["pre_s"], consts["fwd"],
+            consts["fwd_s"], p, mu, p_max, m1, m2,
+        )
+        return mm.mod_u32(h, p, mu)
+
     def step(k, carry):
-        a_acc, b_acc = carry
+        a_acc, b_acc, t_a, t_b = carry
         ck = bk_ref[pl.ds(k, 1)][0]    # (2l, 2, L, m1, m2)
         cks = bks_ref[pl.ds(k, 1)][0]
         u_k = ua_ref[pl.ds(k, 1)][0]   # (T, 1)
         return _rotate_body(
-            a_acc, b_acc, ck, cks, u_k, **consts,
+            a_acc, b_acc, t_a, t_b, ck, cks, u_k, **consts,
             l=l, L=L, m1=m1, m2=m2, p_max=p_max,
+            randomized=randomized, moduli=moduli,
+            rnd=(seed, k, gate_off),
         )
 
-    a_acc, b_acc = jax.lax.fori_loop(0, n, step, (a0_ref[:], b0_ref[:]))
+    a0 = a0_ref[:]
+    b0 = b0_ref[:]
+    a_acc, b_acc, _, _ = jax.lax.fori_loop(
+        0, n, step, (a0, b0, hat_of(a0), hat_of(b0))
+    )
     a_out_ref[:] = a_acc
     b_out_ref[:] = b_acc
 
@@ -341,35 +477,53 @@ def _rotate_step_kernel(
     fwd_ref, fwd_s_ref, inv_ref, inv_s_ref,
     mono_ref, mono_s_ref,
     p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
-    wval_ref, wshoup_ref,
-    # outputs (revisited across the k grid axis — the rotation accumulator)
+    wval_ref, wshoup_ref, seed_ref,
+    # outputs
     a_out_ref, b_out_ref,
+    # VMEM scratch: the accumulators persist across the k grid axis — no
+    # HBM writeback until the last step
+    a_s, b_s,
     *, n: int, l: int, L: int, m1: int, m2: int, p_max: int,
+    randomized: bool = False, moduli: tuple = (),
 ):
     """One blind-rotation step per grid point (t, k): the key-index axis k is
     a GRID dimension, so Pallas streams the (1, 2l, 2, L, m1, m2) bootstrap-
     key slice for step k from HBM into VMEM with automatic double-buffering —
     this is how n=512 (≈600 MB key) runs with a ~2.3 MB VMEM key footprint.
-    The accumulator lives in the revisited output blocks, which stay
-    VMEM-resident for all n steps of a tile."""
+    The accumulators live in VMEM scratch for all n steps of a tile; the
+    output blocks are written once, at k == n-1. Computes the gadget T-term
+    by w-multiplies (the hat-carry variant measured slower here — see
+    _rotate_body)."""
     k = pl.program_id(1)
+    tile = a0_ref.shape[2]
+    gate_off = (pl.program_id(0) * jnp.int32(tile)).astype(jnp.uint32)
+    p = p_ref[:]
+    mu = mu_ref[:]
 
     @pl.when(k == 0)
     def _init():
-        a_out_ref[:] = a0_ref[:]
-        b_out_ref[:] = b0_ref[:]
+        a_s[:] = a0_ref[:]
+        b_s[:] = b0_ref[:]
 
-    a_acc, b_acc = _rotate_body(
-        a_out_ref[:], b_out_ref[:], bk_ref[0], bks_ref[0], ua_ref[0],
+    a_acc, b_acc, _, _ = _rotate_body(
+        a_s[:], b_s[:], None, None,
+        bk_ref[0], bks_ref[0], ua_ref[0],
         pre_ref[:], pre_s_ref[:], post_ref[:], post_s_ref[:],
         fwd_ref[:], fwd_s_ref[:], inv_ref[:], inv_s_ref[:],
         mono_ref[:], mono_s_ref[:],
-        p_ref[:], mu_ref[:], ipj_ref[:], ipj_s_ref[:], smod_ref[:],
-        off_ref[:], wval_ref[:], wshoup_ref[:],
+        p, mu, ipj_ref[:], ipj_s_ref[:], smod_ref[:], off_ref[:],
         l=l, L=L, m1=m1, m2=m2, p_max=p_max,
+        randomized=randomized, moduli=moduli,
+        rnd=(seed_ref[0, 0], k, gate_off),
+        wval=wval_ref[:], wshoup=wshoup_ref[:],
     )
-    a_out_ref[:] = a_acc
-    b_out_ref[:] = b_acc
+    a_s[:] = a_acc
+    b_s[:] = b_acc
+
+    @pl.when(k == n - 1)
+    def _finish():
+        a_out_ref[:] = a_acc
+        b_out_ref[:] = b_acc
 
 
 def _tile_env() -> int | None:
@@ -433,7 +587,6 @@ def _common_operands(params, ctx):
         plan.p[:, :, None, None], plan.mu[:, :, None, None],
         rns.inv_pj_val, rns.inv_pj_shoup,
         rns.s_mod[:, :, :, None, None], rns.offset[:, :, None, None],
-        rns.w_val[:, :, :, None, None], rns.w_shoup[:, :, :, None, None],
     )
 
 
@@ -462,11 +615,12 @@ def _pad_batch(tile, ua, a0, b0):
 
 def blind_rotate_fused(
     params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
-    tile: int | None = None, interpret: bool = False,
+    tile: int | None = None, interpret: bool = False, seed=None,
 ):
     """Full n-step blind rotation, bootstrap key VMEM-resident (grid over
     batch tiles only). ua: (B, n) mod-r exponents; a0, b0: (B, L, m).
-    Returns (a_acc, b_acc) of shape (B, L, m)."""
+    seed: optional (1, 1) int32 — enables randomized flattening with
+    in-kernel PRNG masks. Returns (a_acc, b_acc) of shape (B, L, m)."""
     n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
     m1, m2 = _split_m(m)
     B = ua.shape[0]
@@ -483,8 +637,12 @@ def blind_rotate_fused(
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
+    randomized = seed is not None
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.int32)
     p_max = max(params.moduli)
-    kernel = partial(_rotate_kernel, n=n, l=l, L=L, m1=m1, m2=m2, p_max=p_max)
+    kernel = partial(_rotate_kernel, n=n, l=l, L=L, m1=m1, m2=m2,
+                     p_max=p_max, randomized=randomized, moduli=params.moduli)
     out_shape = [
         jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),
         jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),
@@ -497,7 +655,9 @@ def blind_rotate_fused(
         acc_spec(),     # b0
         full(),         # bkey (resident)
         full(),
-    ] + [full()] * 18
+    ] + [full()] * 16 + [
+        pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
+    ]
     out_specs = [acc_spec(), acc_spec()]
 
     a_lm, b_lm = pl.pallas_call(
@@ -515,6 +675,7 @@ def blind_rotate_fused(
         bkey_hat.reshape(n, 2 * l, 2, L, m1, m2),
         bkey_shoup.reshape(n, 2 * l, 2, L, m1, m2),
         *_common_operands(params, ctx),
+        seed,
     )
     a_acc = _from_kernel_layout(a_lm, L, m1, m2)
     b_acc = _from_kernel_layout(b_lm, L, m1, m2)
@@ -526,10 +687,11 @@ def blind_rotate_fused(
 
 def blind_rotate_streamed(
     params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
-    tile: int | None = None, interpret: bool = False,
+    tile: int | None = None, interpret: bool = False, seed=None,
 ):
     """Blind rotation with the bootstrap key STREAMED from HBM (grid axis over
-    key steps, Pallas double-buffers the per-step slice). Works at any n."""
+    key steps, Pallas double-buffers the per-step slice). Works at any n.
+    seed: optional (1, 1) int32 — enables in-kernel randomized flattening."""
     n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
     m1, m2 = _split_m(m)
     B = ua.shape[0]
@@ -547,9 +709,13 @@ def blind_rotate_streamed(
 
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
+    randomized = seed is not None
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.int32)
     p_max = max(params.moduli)
     kernel = partial(
-        _rotate_step_kernel, n=n, l=l, L=L, m1=m1, m2=m2, p_max=p_max
+        _rotate_step_kernel, n=n, l=l, L=L, m1=m1, m2=m2, p_max=p_max,
+        randomized=randomized, moduli=params.moduli,
     )
     out_shape = [
         jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),
@@ -569,8 +735,13 @@ def blind_rotate_streamed(
             (1, 2 * l, 2, L, m1, m2), lambda t, k: (k, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-    ] + [full()] * 18
+    ] + [full()] * 18 + [
+        pl.BlockSpec((1, 1), lambda t, k: (0, 0), memory_space=pltpu.SMEM)
+    ]
     out_specs = [acc_spec(), acc_spec()]
+    scratch = [
+        pltpu.VMEM((L, m1, tile, m2), jnp.uint32) for _ in range(2)
+    ]
 
     a_lm, b_lm = pl.pallas_call(
         kernel,
@@ -578,6 +749,7 @@ def blind_rotate_streamed(
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -590,6 +762,9 @@ def blind_rotate_streamed(
         bkey_hat.reshape(n, 2 * l, 2, L, m1, m2),
         bkey_shoup.reshape(n, 2 * l, 2, L, m1, m2),
         *_common_operands(params, ctx),
+        ctx.rns.w_val[:, :, :, None, None],
+        ctx.rns.w_shoup[:, :, :, None, None],
+        seed,
     )
     a_acc = _from_kernel_layout(a_lm, L, m1, m2)
     b_acc = _from_kernel_layout(b_lm, L, m1, m2)

@@ -216,13 +216,12 @@ def flatten_random(
         a = jax.random.bits(keys[i], batch + (m,), jnp.uint32)
         b = jax.random.bits(jax.random.fold_in(keys[i], 1), batch + (m,), jnp.uint32)
         # v = (a * 2^16 + (b & 0xffff)) mod span via 48 random bits:
-        # statistical distance < 2^-16 from uniform. The shift-reduce below is
-        # exact for any span < 2^31 (2t < 2^32 keeps every intermediate exact).
+        # statistical distance < 2^-16 from uniform. (a mod span) * 2^16 mod
+        # span is one Shoup multiply with the static constant 2^16 mod span.
         sp = jnp.uint32(span)
+        c16 = (1 << 16) % span
         t = mm.mod_u32(a, sp, jnp.uint32(mm.barrett_mu(span)))
-        for _ in range(16):
-            t = t + t
-            t = jnp.where(t >= sp, t - sp, t)
+        t = mm.shoup_mul(t, jnp.uint32(c16), jnp.uint32(mm.shoup_const(c16, span)), sp)
         v = t + (b & jnp.uint32(0xFFFF))
         v = jnp.where(v >= sp, v - sp, v)  # < span + 2^16 so one subtract
         # embed (v - 3 s_i) into all limbs

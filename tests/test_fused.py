@@ -95,3 +95,40 @@ def test_fused_rotation_matches_jnp(setup64):
     for (ra, rb), (ga, gb) in zip(ref, got_s):
         np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
         np.testing.assert_array_equal(np.asarray(rb), np.asarray(gb))
+
+
+def test_fused_randomized_mode(setup64):
+    """Randomized flattening inside the kernel (in-kernel PRNG masks): the
+    output must decrypt to correct gates, be deterministic given the key,
+    and differ from the deterministic-mode ciphertext (masks present)."""
+    params, ctx, sk, bkey = setup64
+    msg = np.asarray(jax.random.bernoulli(jax.random.key(8), 0.5, (params.n,)))
+    ct = F.encrypt(sk, jax.random.key(9), jnp.asarray(msg))
+    bits = F.split_ciphertext(ct)
+    B = 8
+    lwe1 = F.LWE(bits.lwe.a[0 : 2 * B : 2], bits.lwe.b[0 : 2 * B : 2])
+    lwe2 = F.LWE(bits.lwe.a[1 : 2 * B : 2], bits.lwe.b[1 : 2 * B : 2])
+    fk = jax.random.key(11)
+    run = lambda fused, key: bs._bootstrap_batch_jit(  # noqa: E731
+        params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2, key,
+        key is not None, fused,
+    )
+    out_r = run(("resident", True), fk)
+    out_r2 = run(("resident", True), fk)
+    out_det = run(("resident", True), None)
+    y1, y2 = msg[0 : 2 * B : 2], msg[1 : 2 * B : 2]
+    exp = [y1 & y2, y1 | y2, y1 ^ y2]
+    for lwe, e in zip(out_r, exp):
+        got = np.asarray(F.decrypt_bit(sk, F.EncryptedBit(lwe)))
+        np.testing.assert_array_equal(got, e)
+    # deterministic given the key
+    for a, b in zip(out_r, out_r2):
+        np.testing.assert_array_equal(np.asarray(a.a), np.asarray(b.a))
+        np.testing.assert_array_equal(np.asarray(a.b), np.asarray(b.b))
+    # masks actually applied (ciphertext differs from deterministic mode)
+    assert not (np.asarray(out_r[0].a) == np.asarray(out_det[0].a)).all()
+
+    out_s = run(("streamed", True), fk)
+    for lwe, e in zip(out_s, exp):
+        got = np.asarray(F.decrypt_bit(sk, F.EncryptedBit(lwe)))
+        np.testing.assert_array_equal(got, e)
