@@ -80,6 +80,29 @@ def bench_gates(n=64, batch=4096, iters=5):
         )
     jax.block_until_ready(out[0].a)
     dt = (time.perf_counter() - t0) / iters
+
+    # secondary: randomized-flattening mode (the reference's rng!=nothing
+    # security posture), also checked for correctness
+    fk = jax.random.key(17)
+    out_r = F.bootstrap_batch(
+        params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2, fk, True
+    )
+    got = np.asarray(F.decrypt_bit(sk, F.EncryptedBit(out_r[0])))
+    if not (got == expected[0]).all():
+        print(f"FATAL: n={n} randomized AND wrong", file=sys.stderr)
+        raise SystemExit(1)
+    t0 = time.perf_counter()
+    for _ in range(max(1, iters // 2)):
+        out_r = F.bootstrap_batch(
+            params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2, fk, True
+        )
+    jax.block_until_ready(out_r[0].a)
+    dt_r = (time.perf_counter() - t0) / max(1, iters // 2)
+    print(
+        f"bootstrap n={n} randomized: {batch/dt_r:.1f} gates/s "
+        f"(truth table verified)",
+        file=sys.stderr,
+    )
     return batch / dt, dt, params
 
 
