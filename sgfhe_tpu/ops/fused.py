@@ -63,12 +63,19 @@ _VMEM_LIMIT = int(os.environ.get("SGFHE_VMEM_LIMIT", 64 * 1024 * 1024))
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FusedTables:
-    """Full-width per-stage twiddle tables for the 2-D tiled NTT."""
+    """Full-width per-stage twiddle tables for the 2-D tiled NTT, plus the
+    grouped (radix-4) monomial-ladder tables."""
 
     fwd_full: jax.Array    # (S, L, m) twiddle at v-positions, 0 elsewhere
     fwd_full_s: jax.Array  # Shoup companions
     inv_full: jax.Array    # (S, L, m) twiddle at b-positions, 0 elsewhere
     inv_full_s: jax.Array
+    # mono4[g, c-1] = ψ^{E * c * 4^g mod 2m} for c in {1,2,3}: the monomial
+    # bit ladder processes TWO exponent bits per Shoup multiply (select the
+    # table for c = those bits, multiply once) — ~half the ladder multiplies
+    # of the per-bit form (ops/ntt.monomial_mul_hat).
+    mono4: jax.Array       # (ceil(nbits/2), 3, L, m)
+    mono4_s: jax.Array
 
 
 def build_fused(plan: NttPlan) -> FusedTables:
@@ -96,11 +103,27 @@ def build_fused(plan: NttPlan) -> FusedTables:
         w, ws = (np.asarray(t) for t in plan.inv_tw[s])  # (L, ln)
         inv[s, :, b_pos] = w[:, j[b_pos]].T
         inv_s[s, :, b_pos] = ws[:, j[b_pos]].T
+    # grouped ladder tables from the per-bit ψ-power tables: T_c = T1^c mod p
+    mono = np.asarray(plan.mono_pow).astype(np.uint64)  # (nbits, L, m)
+    p64 = np.asarray(plan.p).astype(np.uint64)          # (L, 1)
+    nbits = mono.shape[0]
+    G = (nbits + 1) // 2
+    mono4 = np.zeros((G, 3, L, m), dtype=np.uint32)
+    mono4_s = np.zeros((G, 3, L, m), dtype=np.uint32)
+    for g in range(G):
+        t1 = mono[2 * g]
+        t2 = mono[2 * g + 1] if 2 * g + 1 < nbits else (t1 * t1) % p64
+        t3 = (t1 * t2) % p64
+        for c, t in enumerate((t1, t2, t3)):
+            mono4[g, c] = t.astype(np.uint32)
+            mono4_s[g, c] = ((t << np.uint64(32)) // p64).astype(np.uint32)
     return FusedTables(
         fwd_full=jnp.asarray(fwd),
         fwd_full_s=jnp.asarray(fwd_s),
         inv_full=jnp.asarray(inv),
         inv_full_s=jnp.asarray(inv_s),
+        mono4=jnp.asarray(mono4),
+        mono4_s=jnp.asarray(mono4_s),
     )
 
 
@@ -391,13 +414,28 @@ def _rotate_body(
             if ct > 1:
                 t_acc = mm.mod_u32(t_acc, p, mu)
                 ct = 1
-        # monomial bit-ladder: rot = x^{u_k} * s_acc (bound stays cs*p:
-        # multiplied lanes drop under 2p <= cs*p, others keep cs*p)
+        # grouped monomial ladder: rot = x^{u_k} * s_acc, TWO exponent bits
+        # per Shoup multiply (select among ψ^{E·c·4^g}, c in {1,2,3}); bound
+        # stays cs*p: multiplied lanes drop under 2p <= cs*p, others keep it
+        nbits = (2 * m1 * m2).bit_length() - 1
         rot = s_acc
-        for b in range(mono.shape[0]):
-            y = mm.shoup_mul_lazy(rot, mono[b], mono_s[b], p)
-            bit = ((u_k >> b) & jnp.uint32(1)).astype(jnp.bool_)[None, None]
-            rot = jnp.where(bit, y, rot)  # (1, 1, T, 1) vs (L, m1, T, m2)
+        for g in range(mono.shape[0]):
+            shift = 2 * g
+            width = min(2, nbits - shift)
+            cg = ((u_k >> shift) & jnp.uint32((1 << width) - 1))[None, None]
+            if width == 2:
+                selv = jnp.where(
+                    cg == 1, mono[g, 0],
+                    jnp.where(cg == 2, mono[g, 1], mono[g, 2]),
+                )
+                sels = jnp.where(
+                    cg == 1, mono_s[g, 0],
+                    jnp.where(cg == 2, mono_s[g, 1], mono_s[g, 2]),
+                )
+            else:
+                selv, sels = mono[g, 0], mono_s[g, 0]
+            y = mm.shoup_mul_lazy(rot, selv, sels, p)
+            rot = jnp.where(cg == 0, rot, y)  # (1,1,T,1) vs (L,m1,T,m2)
         # val = rot - s_acc + t_acc, kept nonnegative via +cs*p
         val = rot + (jnp.uint32(cs) * p - s_acc) + t_acc
         if t_carry is not None:
@@ -583,7 +621,8 @@ def _common_operands(params, ctx):
         tw2(plan.post_tw), tw2(plan.post_tw_s),
         tws2(ft.fwd_full), tws2(ft.fwd_full_s),
         tws2(ft.inv_full), tws2(ft.inv_full_s),
-        tws2(plan.mono_pow), tws2(plan.mono_pow_s),
+        ft.mono4.reshape(ft.mono4.shape[0], 3, L, m1, 1, m2),
+        ft.mono4_s.reshape(ft.mono4.shape[0], 3, L, m1, 1, m2),
         plan.p[:, :, None, None], plan.mu[:, :, None, None],
         rns.inv_pj_val, rns.inv_pj_shoup,
         rns.s_mod[:, :, :, None, None], rns.offset[:, :, None, None],
