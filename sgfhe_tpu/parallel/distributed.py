@@ -105,11 +105,10 @@ def scaling_report(params, ctx, bkey, lwe1, lwe2, device_counts=None,
 
     devs = jax.devices()
     if device_counts is None:
-        device_counts = []
-        d = 1
-        while d <= len(devs):
-            device_counts.append(d)
-            d *= 2
+        # default to the two endpoints: every mesh size costs a full XLA
+        # compile (minutes on the CPU-simulated mesh); pass an explicit list
+        # for a full sweep on real hardware
+        device_counts = [1, len(devs)] if len(devs) > 1 else [1]
     rows = []
     base = None
     batch = lwe1.a.shape[0]
