@@ -259,18 +259,20 @@ def _rand_u32(ctr, tweak):
 def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
                     L: int, moduli: tuple, rnd):
     """In-kernel RANDOMIZED flatten (mirrors ops/rns.flatten_random): mask
-    each digit with a fresh draw from [-3*s_i, 3*s_i], deterministically
-    flatten the unmasked remainder, and add the masks back. Digit bound
-    (-2p_i, 2p_i), the reference's (-2B, 2B] guarantee (src/utils.jl:198-241).
+    each digit with an exactly-uniform draw from [-2^k, 2^k) (2^k >= 3*s_i,
+    ops/rns.mask_window_bits), deterministically flatten the unmasked
+    remainder, and add the masks back. Digit bound (-4p_i, 4p_i) — see
+    mask_window_bits for why that is within the reference's noise posture
+    (src/utils.jl:198-241).
 
     rnd = (seed, step_k, op_id, gate_offset): masks come from a counter-based
     hash PRNG over the GLOBAL (gate, coefficient, step, digit, operand)
     coordinates, so the stream is identical on every backend and for every
-    batch-tile size. 48 random bits per mask value -> statistical distance
-    < 2^-16 from uniform, like the jnp path. The generator is a statistical
-    (not cryptographic) PRG — the same posture as the reference, whose
-    MersenneTwister masks carry an in-code TODO for SHAKE
-    (src/utils.jl:63-68)."""
+    batch-tile size. The generator is a statistical (not cryptographic) PRG
+    — the same posture as the reference, whose MersenneTwister masks carry
+    an in-code TODO for SHAKE (src/utils.jl:63-68)."""
+    from .rns import mask_window_bits
+
     seed, step_k, op_id, gate_off = rnd
     m1_, T_, m2_ = x.shape[1:]
     i1 = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 0)
@@ -287,22 +289,13 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
     for i in range(L):
         if i:
             w_int *= moduli[i - 1]
-        s3 = 3 * ((moduli[i] - 1) // 2)
-        span = np.uint32(2 * s3 + 1)
-        mu_span = np.uint32(mm.barrett_mu(int(span)))
-        c16 = np.uint32((1 << 16) % int(span))
-        c16_s = np.uint32(mm.shoup_const(int(c16), int(span)))
+        k_bits = mask_window_bits(moduli[i])
         salt = _mix32(
             seed + ((k32 * np.uint32(L) + np.uint32(i)) * np.uint32(2)
                     + jnp.uint32(op_id)) * np.uint32(0x632BE59B)
         )
-        a_bits = _rand_u32(ctr, salt)
-        b_bits = _rand_u32(ctr, salt + np.uint32(0x61C88647))
-        t = mm.mod_u32(a_bits, span, mu_span)
-        t = mm.shoup_mul(t, c16, c16_s, span)      # t * 2^16 mod span
-        v = t + (b_bits & np.uint32(0xFFFF))       # < span + 2^16
-        v = jnp.where(v >= span, v - span, v)
-        # embed (v - 3 s_i) into every limb, and subtract mask_i * w_i from
+        v = _rand_u32(ctr, salt) & np.uint32((1 << (k_bits + 1)) - 1)
+        # embed (v - 2^k) into every limb, and subtract mask_i * w_i from
         # rand_x. Per-limb SCALAR constants only — Pallas bodies may not
         # capture numpy arrays.
         e_limbs = []
@@ -311,7 +304,7 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
             pk = np.uint32(q)
             muk = np.uint32(mm.barrett_mu(q))
             ek = mm.mod_u32(v, pk, muk)
-            ek = mm.submod(ek, np.uint32(s3 % q), pk)
+            ek = mm.submod(ek, np.uint32((1 << k_bits) % q), pk)
             e_limbs.append(ek)
             wv = np.uint32(w_int % q)
             wsh = np.uint32(mm.shoup_const(int(wv), q))

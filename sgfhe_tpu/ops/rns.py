@@ -190,19 +190,29 @@ def flatten(ctx: RnsContext, x: jax.Array) -> jax.Array:
     return jnp.stack(out, axis=-3)  # (..., L_digits, L, m)
 
 
+def mask_window_bits(p: int) -> int:
+    """k such that the randomized-flatten mask window is [-2^k, 2^k):
+    the smallest power of two with 2^k >= 3*s (s = (p-1)/2, the balanced
+    digit bound), i.e. AT LEAST the reference's [-3s, 3s] smudging span
+    (src/utils.jl:198-241). EXACTLY uniform (one masked draw, no modular
+    reduction). Resulting digit bound: |digit| <= 2^k + s < 3.5*p — within
+    (-4p, 4p), the analog of the reference's (-2B, 2B] with a 2x-wider
+    window relative to its base (our per-digit noise contribution is still
+    ~2^13x smaller than the reference's, whose base B ~ 35 r^2 n >> p)."""
+    s = (p - 1) // 2
+    return (3 * s - 1).bit_length()
+
+
 def flatten_random(
     ctx: RnsContext, x: jax.Array, key: jax.Array, moduli: tuple[int, ...]
 ) -> jax.Array:
     """Randomized gadget decomposition (reference src/utils.jl:198-241).
 
-    Masks each digit with a near-uniform value in [-3*s_i, 3*s_i],
-    deterministically flattens the unmasked remainder, and adds the masks
-    back — digit i stays within (-2*p_i, 2*p_i), matching the reference's
-    (-2B, 2B] guarantee. Takes a JAX PRNG key plus the STATIC tuple of moduli
-    (from Params) so the sampling spans are compile-time constants; masks are
-    drawn from 48 random bits reduced mod the span (statistical distance
-    < 2^-16 from uniform — the reference's `rand(rng, -xmax:xmax)` is exactly
-    uniform; documented deviation).
+    Masks each digit with an exactly-uniform value in [-2^k, 2^k)
+    (2^k >= 3*s_i, see mask_window_bits), deterministically flattens the
+    unmasked remainder, and adds the masks back — digit i stays within
+    (-4*p_i, 4*p_i). Takes a JAX PRNG key plus the STATIC tuple of moduli
+    (from Params) so the windows are compile-time constants.
     """
     L = ctx.p.shape[0]
     m = x.shape[-1]
@@ -211,26 +221,17 @@ def flatten_random(
     masks = []
     rand_x = x
     for i in range(L):
-        s3 = 3 * ((moduli[i] - 1) // 2)
-        span = 2 * s3 + 1  # size of [-3s, 3s]; < 2^31 since p < 2^29
-        a = jax.random.bits(keys[i], batch + (m,), jnp.uint32)
-        b = jax.random.bits(jax.random.fold_in(keys[i], 1), batch + (m,), jnp.uint32)
-        # v = (a * 2^16 + (b & 0xffff)) mod span via 48 random bits:
-        # statistical distance < 2^-16 from uniform. (a mod span) * 2^16 mod
-        # span is one Shoup multiply with the static constant 2^16 mod span.
-        sp = jnp.uint32(span)
-        c16 = (1 << 16) % span
-        t = mm.mod_u32(a, sp, jnp.uint32(mm.barrett_mu(span)))
-        t = mm.shoup_mul(t, jnp.uint32(c16), jnp.uint32(mm.shoup_const(c16, span)), sp)
-        v = t + (b & jnp.uint32(0xFFFF))
-        v = jnp.where(v >= sp, v - sp, v)  # < span + 2^16 so one subtract
-        # embed (v - 3 s_i) into all limbs
+        k_bits = mask_window_bits(moduli[i])
+        v = jax.random.bits(keys[i], batch + (m,), jnp.uint32) & jnp.uint32(
+            (1 << (k_bits + 1)) - 1
+        )  # uniform in [0, 2^{k+1}); value - 2^k is the signed mask
+        # embed (v - 2^k) into all limbs
         u = v[..., None, :]
         e = mm.mod_u32(u, ctx.p, ctx.mu)
-        s3_mod = np.array(
-            [s3 % q for q in moduli], dtype=np.uint32
+        off_mod = np.array(
+            [(1 << k_bits) % q for q in moduli], dtype=np.uint32
         ).reshape(L, 1)
-        e = mm.submod(e, jnp.asarray(s3_mod), ctx.p)  # (..., L, m): mask mod p_k
+        e = mm.submod(e, jnp.asarray(off_mod), ctx.p)  # (..., L, m)
         masks.append(e)
         # rand_x -= mask * w_i
         contrib = mm.shoup_mul(e, ctx.w_val[i], ctx.w_shoup[i], ctx.p)

@@ -78,8 +78,12 @@ def test_flatten_random_reconstruction_and_bounds():
             [int(v) if int(v) <= host.Q // 2 else int(v) - host.Q for v in dv],
             dtype=object,
         )
-        # randomized bound: within (-2 p_i, 2 p_i)
-        assert all(abs(c) < 2 * host.moduli[i] for c in centered)
+        # randomized bound: window 2^k (>= 3s) + digit s, within (-4p, 4p)
+        bound = (1 << rns.mask_window_bits(host.moduli[i])) + (
+            host.moduli[i] - 1
+        ) // 2
+        assert bound < 4 * host.moduli[i]
+        assert all(abs(c) <= bound for c in centered)
         recon = recon + centered * host.weights[i]
     assert all(int(r) % host.Q == int(x) for r, x in zip(recon, xs))
     # determinism given the key
