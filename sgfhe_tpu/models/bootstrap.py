@@ -147,11 +147,13 @@ def bootstrap_internal(
 
     fused_kernel, fused_interp = fused
     if fused_kernel in ("resident", "streamed"):
-        # randomized mode: fold the PRNG key into a 32-bit seed for the
-        # in-kernel PRNG (per-tile/per-step streams derive from it)
+        # randomized mode: derive 64 bits of key material (two uint32 words)
+        # for the in-kernel PRNG — per-tile/per-step mask streams mix BOTH
+        # words, so the stream space is not narrowed below the jnp path's
+        # full threefry key
         seed = None
         if flat_key is not None:
-            seed = jax.random.bits(flat_key, (1, 1), jnp.uint32).astype(
+            seed = jax.random.bits(flat_key, (1, 2), jnp.uint32).astype(
                 jnp.int32
             )
         rotate = (

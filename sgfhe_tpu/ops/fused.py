@@ -157,6 +157,19 @@ def _lane_mask(h: int, ndim: int, m2: int) -> jax.Array:
 _U32_LIMIT = (1 << 32) - 1
 
 
+def _chk(c: int, p_max: int) -> int:
+    """Static lazy-bound guard: every tracked intermediate bound c (in units
+    of p) must satisfy c * p_max <= 2^32 - 1 or uint32 lanes silently wrap.
+    Bounds are Python ints, so this trips at TRACE time, never on device —
+    the repo invariant that lazy bounds be re-derived whenever kernel
+    arithmetic changes (CLAUDE.md) is thereby enforced mechanically."""
+    assert c * p_max <= _U32_LIMIT, (
+        f"lazy-reduction bound overflow: {c} * p_max ({p_max}) exceeds "
+        f"2^32 - 1; the reduction schedule must reset earlier"
+    )
+    return c
+
+
 def _ntt_fwd_lazy(x, pre, pre_s, fwd, fwd_s, p, mu, p_max: int,
                   m1: int, m2: int):
     """Forward negacyclic NTT, input canonical, output congruent mod p with
@@ -171,6 +184,7 @@ def _ntt_fwd_lazy(x, pre, pre_s, fwd, fwd_s, p, mu, p_max: int,
         if 2 * c * p_max > _U32_LIMIT:
             x = mm.mod_u32(x, p, mu)
             c = 1
+        _chk(2 * c, p_max)  # e = u + v and u + c*p - v are both < 2c*p
         if h >= m2:
             # true butterfly along m1: reshape m1 -> (g, 2, h1). The reshape
             # adds one axis before (h1, T, m2), so per-limb constants need an
@@ -215,6 +229,7 @@ def _ntt_inv_lazy(x, post, post_s, inv, inv_s, p, mu, c_in: int,
         if (c + 2) * p_max > _U32_LIMIT:
             x = mm.mod_u32(x, p, mu)
             c = 1
+        _chk(c + 2, p_max)  # lo = a + t and a + 2p - t are both < (c+2)*p
         if h >= m2:
             h1 = h // m2
             g = m1 // (2 * h1)
@@ -265,22 +280,26 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
     mask_window_bits for why that is within the reference's noise posture
     (src/utils.jl:198-241).
 
-    rnd = (seed, step_k, op_id, gate_offset): masks come from a counter-based
-    hash PRNG over the GLOBAL (gate, coefficient, step, digit, operand)
-    coordinates, so the stream is identical on every backend and for every
-    batch-tile size. The generator is a statistical (not cryptographic) PRG
-    — the same posture as the reference, whose MersenneTwister masks carry
-    an in-code TODO for SHAKE (src/utils.jl:63-68)."""
+    rnd = ((seed_lo, seed_hi), step_k, op_id, gate_offset): masks come from a
+    counter-based hash PRNG over the GLOBAL (gate, coefficient, step, digit,
+    operand) coordinates, so the stream is identical on every backend and for
+    every batch-tile size. 64 bits of key material (two uint32 SMEM words)
+    feed every per-digit salt, so the mask-stream space is not narrowed below
+    the jnp path's full threefry key. The generator is a statistical (not
+    cryptographic) PRG — the same posture as the reference, whose
+    MersenneTwister masks carry an in-code TODO for SHAKE
+    (src/utils.jl:63-68)."""
     from .rns import mask_window_bits
 
-    seed, step_k, op_id, gate_off = rnd
+    (seed_lo, seed_hi), step_k, op_id, gate_off = rnd
     m1_, T_, m2_ = x.shape[1:]
     i1 = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 0)
     it = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 1) + gate_off
     i2 = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 2)
     # unique element counter per (global gate, coefficient)
     ctr = (it * np.uint32(m1_) + i1) * np.uint32(m2_) + i2
-    seed = seed.astype(jnp.uint32)
+    seed_lo = seed_lo.astype(jnp.uint32)
+    seed_hi = seed_hi.astype(jnp.uint32)
     k32 = step_k.astype(jnp.uint32) if hasattr(step_k, "astype") else jnp.uint32(step_k)
 
     masks = []
@@ -290,10 +309,10 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
         if i:
             w_int *= moduli[i - 1]
         k_bits = mask_window_bits(moduli[i])
-        salt = _mix32(
-            seed + ((k32 * np.uint32(L) + np.uint32(i)) * np.uint32(2)
-                    + jnp.uint32(op_id)) * np.uint32(0x632BE59B)
-        )
+        tag = ((k32 * np.uint32(L) + np.uint32(i)) * np.uint32(2)
+               + jnp.uint32(op_id)) * np.uint32(0x632BE59B)
+        # both 32-bit key words avalanche into the salt
+        salt = _mix32(seed_hi ^ _mix32(seed_lo + tag))
         v = _rand_u32(ctr, salt) & np.uint32((1 << (k_bits + 1)) - 1)
         # embed (v - 2^k) into every limb, and subtract mask_i * w_i from
         # rand_x. Per-limb SCALAR constants only — Pallas bodies may not
@@ -362,8 +381,8 @@ def _rotate_body(
     extra carried state costs it more than the multiplies, v5e n=512).
 
     ck/cks: (2l, 2, L, m1, m2) key slice; u_k: (T, 1) exponents.
-    randomized=True uses the counter-hash PRNG masks; rnd = (seed, step_k,
-    gate_offset) identifies the stream.
+    randomized=True uses the counter-hash PRNG masks; rnd = ((seed_lo,
+    seed_hi), step_k, gate_offset) identifies the stream (64-bit key).
 
     Returns (a_acc', b_acc', t_a', t_b'), all canonical.
     """
@@ -383,33 +402,51 @@ def _rotate_body(
     outs = []
     t_outs = []
     for c, t_carry in ((0, t_a), (1, t_b)):
-        # lazy accumulation: each Shoup product < 2p, bounds tracked below
-        s_acc = None
+        # lazy accumulation: each Shoup product < 2p; reduce the running sum
+        # whenever the tracked bound would overflow uint32 (this fires at
+        # l = 3 with ~29-bit limbs, where 12*p_max > 2^32 — Params(1024))
+        s_acc, cs = None, 0
         for row in range(2 * l):
             prod = mm.shoup_mul_lazy(
                 d_hat[row], ck[row, c][:, :, None, :], cks[row, c][:, :, None, :],
                 p,
             )
-            s_acc = prod if s_acc is None else s_acc + prod
-        cs = 2 * (2 * l)  # bound multiplier (units of p)
+            if s_acc is None:
+                s_acc, cs = prod, 2
+            else:
+                if (cs + 2) * p_max > _U32_LIMIT:
+                    s_acc = mm.mod_u32(s_acc, p, mu)
+                    cs = 1
+                s_acc = s_acc + prod
+                cs = _chk(cs + 2, p_max)
         if t_carry is not None:
             t_acc, ct = t_carry, 1  # canonical hat carried from last step
         else:
-            t_acc = None
+            t_acc, ct = None, 0
             for i in range(l):
                 row = i if c == 0 else l + i
                 wprod = mm.shoup_mul_lazy(d_hat[row], wval[i], wshoup[i], p)
-                t_acc = wprod if t_acc is None else t_acc + wprod
-            ct = 2 * l
-        if (2 * cs + ct) * p_max > _U32_LIMIT:
+                if t_acc is None:
+                    t_acc, ct = wprod, 2
+                else:
+                    if (ct + 2) * p_max > _U32_LIMIT:
+                        t_acc = mm.mod_u32(t_acc, p, mu)
+                        ct = 1
+                    t_acc = t_acc + wprod
+                    ct = _chk(ct + 2, p_max)
+        # val = rot + (cs*p - s_acc) + t_acc needs (cs + max(cs,2) + ct)*p
+        # to fit uint32: the ladder's MULTIPLIED lanes land in [0, 2p), so
+        # its output bound is max(cs, 2)*p — NOT cs*p when cs == 1 after a
+        # Barrett reset (the round-2 advisor finding: 2*cs + ct understated
+        # the true bound by p in exactly that case).
+        if (cs + max(cs, 2) + ct) * p_max > _U32_LIMIT:
             s_acc = mm.mod_u32(s_acc, p, mu)
             cs = 1
             if ct > 1:
                 t_acc = mm.mod_u32(t_acc, p, mu)
                 ct = 1
         # grouped monomial ladder: rot = x^{u_k} * s_acc, TWO exponent bits
-        # per Shoup multiply (select among ψ^{E·c·4^g}, c in {1,2,3}); bound
-        # stays cs*p: multiplied lanes drop under 2p <= cs*p, others keep it
+        # per Shoup multiply (select among ψ^{E·c·4^g}, c in {1,2,3})
         nbits = (2 * m1 * m2).bit_length() - 1
         rot = s_acc
         for g in range(mono.shape[0]):
@@ -429,7 +466,9 @@ def _rotate_body(
                 selv, sels = mono[g, 0], mono_s[g, 0]
             y = mm.shoup_mul_lazy(rot, selv, sels, p)
             rot = jnp.where(cg == 0, rot, y)  # (1,1,T,1) vs (L,m1,T,m2)
+        cr = max(cs, 2)  # ladder output bound (multiplied lanes < 2p)
         # val = rot - s_acc + t_acc, kept nonnegative via +cs*p
+        _chk(cs + cr + ct, p_max)
         val = rot + (jnp.uint32(cs) * p - s_acc) + t_acc
         if t_carry is not None:
             # canonical copy becomes the next step's T-term
@@ -438,7 +477,7 @@ def _rotate_body(
             c_in = 1
         else:
             t_outs.append(None)
-            c_in = 2 * cs + ct
+            c_in = cs + cr + ct
         outs.append(
             _ntt_inv_lazy(val, post, post_s, inv, inv_s, p, mu,
                           c_in, p_max, m1, m2)
@@ -462,7 +501,7 @@ def _rotate_kernel(
     """Resident kernel: whole bootstrap key in VMEM, fori_loop over steps."""
     tile = a0_ref.shape[2]
     gate_off = (pl.program_id(0) * jnp.int32(tile)).astype(jnp.uint32)
-    seed = seed_ref[0, 0]
+    seed = (seed_ref[0, 0], seed_ref[0, 1])
     p = p_ref[:]          # (L, 1, 1, 1)
     mu = mu_ref[:]
     consts = dict(
@@ -545,7 +584,7 @@ def _rotate_step_kernel(
         p, mu, ipj_ref[:], ipj_s_ref[:], smod_ref[:], off_ref[:],
         l=l, L=L, m1=m1, m2=m2, p_max=p_max,
         randomized=randomized, moduli=moduli,
-        rnd=(seed_ref[0, 0], k, gate_off),
+        rnd=((seed_ref[0, 0], seed_ref[0, 1]), k, gate_off),
         wval=wval_ref[:], wshoup=wshoup_ref[:],
     )
     a_s[:] = a_acc
@@ -651,8 +690,8 @@ def blind_rotate_fused(
 ):
     """Full n-step blind rotation, bootstrap key VMEM-resident (grid over
     batch tiles only). ua: (B, n) mod-r exponents; a0, b0: (B, L, m).
-    seed: optional (1, 1) int32 — enables randomized flattening with
-    in-kernel PRNG masks. Returns (a_acc, b_acc) of shape (B, L, m)."""
+    seed: optional (1, 2) int32 (two key words) — enables randomized
+    flattening with in-kernel PRNG masks. Returns (a_acc, b_acc) of shape (B, L, m)."""
     n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
     m1, m2 = _split_m(m)
     B = ua.shape[0]
@@ -671,7 +710,7 @@ def blind_rotate_fused(
 
     randomized = seed is not None
     if seed is None:
-        seed = jnp.zeros((1, 1), jnp.int32)
+        seed = jnp.zeros((1, 2), jnp.int32)
     p_max = max(params.moduli)
     kernel = partial(_rotate_kernel, n=n, l=l, L=L, m1=m1, m2=m2,
                      p_max=p_max, randomized=randomized, moduli=params.moduli)
@@ -688,7 +727,7 @@ def blind_rotate_fused(
         full(),         # bkey (resident)
         full(),
     ] + [full()] * 16 + [
-        pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
+        pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM)
     ]
     out_specs = [acc_spec(), acc_spec()]
 
@@ -723,7 +762,8 @@ def blind_rotate_streamed(
 ):
     """Blind rotation with the bootstrap key STREAMED from HBM (grid axis over
     key steps, Pallas double-buffers the per-step slice). Works at any n.
-    seed: optional (1, 1) int32 — enables in-kernel randomized flattening."""
+    seed: optional (1, 2) int32 (two key words) — enables in-kernel
+    randomized flattening."""
     n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
     m1, m2 = _split_m(m)
     B = ua.shape[0]
@@ -743,7 +783,7 @@ def blind_rotate_streamed(
 
     randomized = seed is not None
     if seed is None:
-        seed = jnp.zeros((1, 1), jnp.int32)
+        seed = jnp.zeros((1, 2), jnp.int32)
     p_max = max(params.moduli)
     kernel = partial(
         _rotate_step_kernel, n=n, l=l, L=L, m1=m1, m2=m2, p_max=p_max,
@@ -768,7 +808,7 @@ def blind_rotate_streamed(
             memory_space=pltpu.VMEM,
         ),
     ] + [full()] * 18 + [
-        pl.BlockSpec((1, 1), lambda t, k: (0, 0), memory_space=pltpu.SMEM)
+        pl.BlockSpec((1, 2), lambda t, k: (0, 0), memory_space=pltpu.SMEM)
     ]
     out_specs = [acc_spec(), acc_spec()]
     scratch = [

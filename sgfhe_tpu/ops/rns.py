@@ -359,6 +359,17 @@ def rescale_exact(
         A, B, C = 2 * new_max, Q, 2 * Q
     else:
         A, B, C = new_max, 0, Q
+    # Float32 error budget: the estimate sums L+1 terms of magnitude <= A,
+    # each carrying ~2^-23 relative error (plus the A*w_i/C constant
+    # rounding), so |est - v| < (L + 3) * A * 2^-23. The single exact
+    # correction step only absorbs an estimate within ±1 of the true
+    # quotient; keep the error below 0.25 so the precondition cannot be
+    # silently violated by a future caller with a large new_max.
+    assert (len(moduli) + 3) * A <= (1 << 21), (
+        f"rescale_exact: new_max={new_max} exceeds the float32 estimate "
+        f"error budget for L={len(moduli)} limbs (one correction step "
+        f"requires (L+3)*A*2^-23 < 0.25)"
+    )
     # limb count: the largest intermediate is A*(Q-1) + B + C
     nl = (A * (Q - 1) + B + C).bit_length() // 32 + 1
 
@@ -410,6 +421,13 @@ def rescale_wide(
         A, B, C = 2 * new_max, old_max, 2 * old_max
     else:
         A, B, C = new_max, 0, old_max
+    # float32 error budget (see rescale_exact): x*A/C + B/C is two rounded
+    # float ops on a value <= A plus x's own 2^-24 representation error, so
+    # |est - v| < 3*A*2^-23; the one correction step needs that < 0.25.
+    assert 3 * A <= (1 << 21), (
+        f"rescale_wide: new_max={new_max} exceeds the float32 estimate "
+        f"error budget (one correction step requires 3*A*2^-23 < 0.25)"
+    )
     nl = (A * (old_max - 1) + B + C).bit_length() // 32 + 1
     est = x.astype(jnp.float32) * np.float32(A / C) + np.float32(B / C)
     est = jnp.maximum(est, jnp.float32(0.0))

@@ -110,7 +110,8 @@ def scaling_report(params, ctx, bkey, lwe1, lwe2, device_counts=None,
         # for a full sweep on real hardware
         device_counts = [1, len(devs)] if len(devs) > 1 else [1]
     rows = []
-    base = None
+    base = None       # per-device rate of the FIRST row (any device count)
+    base_nd = None
     batch = lwe1.a.shape[0]
     for nd in device_counts:
         mesh = mesh_mod.make_mesh(dp=nd, tp=1, devices=devs[:nd])
@@ -124,8 +125,11 @@ def scaling_report(params, ctx, bkey, lwe1, lwe2, device_counts=None,
         jax.block_until_ready(res[0].a)
         gps = batch * iters / (time.perf_counter() - t0)
         if base is None:
-            base = gps
-        eff = gps / (base * nd)
+            base, base_nd = gps, nd
+        # efficiency = per-device rate vs the first row's per-device rate,
+        # correct for ANY device_counts list (e.g. [2, 4, 8]), not just
+        # lists starting at 1
+        eff = (gps / nd) / (base / base_nd)
         rows.append((nd, gps, eff))
         if out is not None:
             print(

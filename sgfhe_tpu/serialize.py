@@ -99,7 +99,16 @@ def _frame(type_code: int, meta: dict, payload: bytes) -> bytes:
     return body + native.crc32(body).to_bytes(4, "little")
 
 
+# magic(4) + version(1) + type(1) + meta_len(2) + payload_len(8) + crc(4)
+_MIN_FRAME = 4 + 1 + 1 + 2 + 8 + 4
+
+
 def _unframe(raw: bytes) -> tuple[int, dict, bytes]:
+    if len(raw) < _MIN_FRAME:
+        raise ValueError(
+            f"wire frame too short: {len(raw)} bytes < the {_MIN_FRAME}-byte "
+            f"header+CRC minimum"
+        )
     if raw[:4] != _WIRE_MAGIC:
         raise ValueError("not an sgfhe wire frame (bad magic)")
     if raw[4] != _WIRE_VERSION:
@@ -112,8 +121,10 @@ def _unframe(raw: bytes) -> tuple[int, dict, bytes]:
         )
     type_code = raw[5]
     meta_len = int.from_bytes(raw[6:8], "little")
-    meta = json.loads(raw[8 : 8 + meta_len].decode())
     off = 8 + meta_len
+    if off + 8 > len(raw) - 4:
+        raise ValueError("truncated wire frame")
+    meta = json.loads(raw[8:off].decode())
     payload_len = int.from_bytes(raw[off : off + 8], "little")
     payload = raw[off + 8 : off + 8 + payload_len]
     if len(payload) != payload_len:
@@ -151,13 +162,22 @@ def to_wire(obj) -> bytes:
         return _frame(code, {"n": p.n}, payload)
     if isinstance(obj, s1.EncryptedBit):
         a = np.asarray(obj.lwe.a)
-        b = np.atleast_1d(np.asarray(obj.lwe.b))
+        b = np.asarray(obj.lwe.b)
         n = a.shape[-1]
-        batch = int(np.prod(a.shape[:-1], dtype=np.int64)) if a.ndim > 1 else 0
+        bshape = list(a.shape[:-1])
+        if list(b.shape) != bshape:
+            raise ValueError(
+                f"EncryptedBit a/b batch shapes disagree: {a.shape[:-1]} vs "
+                f"{b.shape}"
+            )
+        rows = int(np.prod(bshape, dtype=np.int64)) if bshape else 1
         # width: bits must cover mod-r values; n determines r = 16n
         w = (16 * n).bit_length() - 1
-        payload = native.pack_uint(a, w) + native.pack_uint(b, w)
-        return _frame(_T_ENCRYPTED_BIT, {"n": n, "batch": batch}, payload)
+        payload = native.pack_uint(a.reshape(rows * n), w) + native.pack_uint(
+            np.atleast_1d(b).reshape(rows), w
+        )
+        # the FULL batch shape rides the meta, so >2-D batches roundtrip
+        return _frame(_T_ENCRYPTED_BIT, {"n": n, "shape": bshape}, payload)
     if isinstance(obj, s1.PrivateEncryptedCiphertext):
         return _frame(_T_PRIVATE_CT, {"n": obj.params.n},
                       private_ciphertext_to_bytes(obj))
@@ -172,18 +192,25 @@ def from_wire(raw: bytes):
     type_code, meta, payload = _unframe(raw)
     if type_code == _T_ENCRYPTED_BIT:
         n = meta["n"]
-        batch = meta["batch"]
+        if "shape" in meta:
+            bshape = tuple(meta["shape"])
+        else:  # frames written before the shape field: 1-D batch or scalar
+            legacy = meta.get("batch", 0)
+            bshape = (legacy,) if legacy else ()
+        rows = 1
+        for d in bshape:
+            rows *= d
         w = (16 * n).bit_length() - 1
-        rows = max(batch, 1)
         a_bytes = (rows * n * w + 7) // 8
         a = native.unpack_uint(payload[:a_bytes], rows * n, w)
         b = native.unpack_uint(payload[a_bytes:], rows, w)
-        if batch == 0:
+        if not bshape:
             return s1.EncryptedBit(
                 s1.LWE(jnp.asarray(a), jnp.asarray(b[0]))
             )
         return s1.EncryptedBit(
-            s1.LWE(jnp.asarray(a.reshape(batch, n)), jnp.asarray(b))
+            s1.LWE(jnp.asarray(a.reshape(bshape + (n,))),
+                   jnp.asarray(b.reshape(bshape)))
         )
     params = Params.create(meta["n"])
     if type_code == _T_PRIVATE_KEY:

@@ -132,3 +132,47 @@ def test_fused_randomized_mode(setup64):
     for lwe, e in zip(out_s, exp):
         got = np.asarray(F.decrypt_bit(sk, F.EncryptedBit(lwe)))
         np.testing.assert_array_equal(got, e)
+
+
+def test_fused_rotation_big_limbs_reset_paths():
+    """Near-2^29 limbs with l = 3 force EVERY lazy-reduction reset in the
+    fused kernels: the mid-accumulation Barrett reset (12*p_max > 2^32), the
+    pre-ladder reset that leaves cs == 1 (the round-2 advisor's
+    Params(1024)-class bound-accounting finding), and the inverse-NTT resets
+    driven by the corrected c_in. Run at n=64/m=512 (synthetic moduli) so
+    interpret mode stays cheap; fused must match the canonical jnp path
+    bit-for-bit on both kernel variants."""
+    import dataclasses
+
+    from sgfhe_tpu.utils import primes as pr
+
+    base = F.Params.create(64)
+    mods = pr.find_rns_primes(2 * base.m, 1 << 86, (1 << 87) - 1, 3)
+    p_max = max(mods)
+    assert 12 * p_max > (1 << 32), "moduli too small to exercise the resets"
+    assert 7 * p_max <= (1 << 32) - 1
+    params = dataclasses.replace(base, moduli=mods)
+    ctx = F.make_context(params)
+    k_sk, k_bk, k_a, k_b = jax.random.split(jax.random.key(21), 4)
+    sk = F.PrivateKey.create(params, k_sk)
+    bkey = F.BootstrapKey.create(ctx, sk, k_bk)
+    B = 4
+    a1 = jax.random.randint(
+        k_a, (B, params.n), 0, params.r, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    a2 = jax.random.randint(
+        k_b, (B, params.n), 0, params.r, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    b1, b2 = a1[:, 7], a2[:, 2]
+    ref = bs.bootstrap_internal(
+        params, ctx, bkey.hat, bkey.hat_shoup, a1, b1, a2, b2, None,
+        fused=("none", False),
+    )
+    for kernel in ("resident", "streamed"):
+        got = bs.bootstrap_internal(
+            params, ctx, bkey.hat, bkey.hat_shoup, a1, b1, a2, b2, None,
+            fused=(kernel, True),
+        )
+        for (ra, rb), (ga, gb) in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
+            np.testing.assert_array_equal(np.asarray(rb), np.asarray(gb))

@@ -177,3 +177,21 @@ def test_rescale_exact_wide_rns():
     for g, x in zip(got, xs):
         exact = (int(x) * new_max + host.Q // 2) // host.Q % new_max
         assert int(g) == exact, (int(x), int(g), exact)
+
+
+def test_rescale_error_budget_guarded():
+    """A new_max beyond the float32 estimate's error budget must be rejected
+    loudly (round-2 advisor: the ±1-correction precondition was unguarded)."""
+    import pytest
+
+    host = small_ctx()
+    ctx = host.device_context()
+    x = jnp.asarray(host.to_rns(np.array([1], dtype=object)))
+    with pytest.raises(AssertionError, match="error budget"):
+        rns.rescale_exact(ctx, x, 1 << 24, host.moduli, True)
+    with pytest.raises(AssertionError, match="error budget"):
+        rns.rescale_wide(1 << 24, jnp.asarray([1], dtype=jnp.uint32),
+                         host.moduli[0], True)
+    # the largest production size stays well inside the budget
+    r_4096 = 16 * 4096
+    assert (len(host.moduli) + 3) * 2 * r_4096 <= (1 << 21)

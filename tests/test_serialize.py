@@ -117,3 +117,30 @@ def test_wire_corruption_detected(setup):
     # truncation is also caught
     with pytest.raises(ValueError):
         serialize.from_wire(bytes(raw[:10]))
+
+
+def test_wire_short_input_clean_error():
+    """Inputs shorter than the fixed header+CRC minimum must raise ValueError,
+    not IndexError (round-2 advisor finding)."""
+    for raw in (b"", b"SGFW", b"SGFW\x01\x06", b"x" * 19):
+        with pytest.raises(ValueError):
+            serialize.from_wire(raw)
+
+
+def test_wire_encrypted_bit_nd_batch(setup):
+    """EncryptedBit wire frames preserve ARBITRARY batch shapes (the old
+    format flattened >2-D batches to (batch, n))."""
+    params, ctx, sk, pk, msg, k_enc = setup
+    rng = np.random.default_rng(7)
+    for shape in [(), (5,), (2, 3), (2, 2, 2)]:
+        a = jnp.asarray(
+            rng.integers(0, params.r, size=shape + (params.n,), dtype=np.uint32)
+        )
+        b = jnp.asarray(rng.integers(0, params.r, size=shape, dtype=np.uint32))
+        if shape == ():
+            b = jnp.uint32(int(b))
+        eb = F.EncryptedBit(F.LWE(a, b))
+        eb2 = serialize.from_wire(serialize.to_wire(eb))
+        assert np.asarray(eb2.lwe.a).shape == shape + (params.n,)
+        np.testing.assert_array_equal(np.asarray(eb2.lwe.a), np.asarray(a))
+        np.testing.assert_array_equal(np.asarray(eb2.lwe.b), np.asarray(b))
