@@ -37,6 +37,8 @@ from .models.bootstrap import (
     pack_encrypted_bits,
 )
 from .models import scheme2 as Scheme2  # noqa: F401  (submodule, like the ref)
+from . import circuit  # noqa: F401  (boolean-circuit evaluation layer)
+from .circuit import Circuit, evaluate as evaluate_circuit
 
 __all__ = [
     "Params", "SchemeContext", "make_context",
@@ -48,4 +50,5 @@ __all__ = [
     "decrypt", "decrypt_bit", "split_ciphertext", "deterministic_expand",
     "bootstrap", "bootstrap_batch", "pack_encrypted_bits",
     "Scheme2",
+    "circuit", "Circuit", "evaluate_circuit",
 ]
