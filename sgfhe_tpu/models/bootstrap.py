@@ -114,37 +114,26 @@ def _external_step(params: Params, ctx: SchemeContext, a_acc, b_acc, ck_hat,
     return outs[0], outs[1]
 
 
-def bootstrap_internal(
-    params: Params,
-    ctx: SchemeContext,
+def blind_rotate(
+    params,
+    ctx,
     bkey_hat: jax.Array,
     bkey_shoup: jax.Array,
-    a1: jax.Array, b1: jax.Array, a2: jax.Array, b2: jax.Array,
+    ua: jax.Array,
+    a_acc: jax.Array,
+    b_acc: jax.Array,
     flat_key=None,
     fused: tuple[str, bool] = ("none", False),
 ):
-    """Blind rotation core (reference src/fhe.jl:559-595), batched.
+    """The shared n-step rotation core (reference hot loop src/fhe.jl:579-582):
+    (a, b) <- (a, b) ⊙ ((x^{u_k}-1)·C_k + G) for k = 0..n-1, batched.
 
-    a1, a2: (batch, n); b1, b2: (batch,); all mod r.
-    Returns three LWEs over Q as ((batch, L, n), (batch, L)) pairs.
+    Scheme-agnostic: any params/ctx with (n, m, num_limbs, num_digits, moduli)
+    and (plan_Q, rns, fused) works — scheme 2's functional bootstrap
+    (models/bootstrap2.py) drives the same kernels. ua: (batch, n) mod-r
+    exponents; a_acc, b_acc: (batch, L, m) initial accumulator.
     """
-    n, m, L = params.n, params.m, params.num_limbs
-    mask = jnp.uint32(params.mask_r)
-    plan = ctx.plan_Q
-
-    ua = (a1 + a2) & mask  # (batch, n)
-    ub = (b1 + b2) & mask  # (batch,)
-
-    batch = ua.shape[0]
-    # b0 = t(x) * DQ~ * x^{-ub}: rotate in the hat domain (gather-free bit
-    # ladder) and invert once, instead of a coefficient-domain gather
-    tpoly_hat_b = jnp.broadcast_to(ctx.tpoly_dq_hat, (batch, L, m))
-    shift = (jnp.uint32(2 * m) - ub) & jnp.uint32(2 * m - 1)
-    b_acc = ntt_mod.ntt_inv(
-        plan, ntt_mod.monomial_mul_hat(plan, tpoly_hat_b, shift)
-    )
-    a_acc = jnp.zeros((batch, L, m), dtype=jnp.uint32)
-
+    n = params.n
     fused_kernel, fused_interp = fused
     if fused_kernel in ("resident", "streamed"):
         # randomized mode: derive 64 bits of key material (two uint32 words)
@@ -184,6 +173,44 @@ def bootstrap_internal(
             )
 
         a_acc, b_acc = jax.lax.fori_loop(0, n, body, (a_acc, b_acc))
+    return a_acc, b_acc
+
+
+def bootstrap_internal(
+    params: Params,
+    ctx: SchemeContext,
+    bkey_hat: jax.Array,
+    bkey_shoup: jax.Array,
+    a1: jax.Array, b1: jax.Array, a2: jax.Array, b2: jax.Array,
+    flat_key=None,
+    fused: tuple[str, bool] = ("none", False),
+):
+    """Blind rotation + gate extraction (reference src/fhe.jl:559-595),
+    batched.
+
+    a1, a2: (batch, n); b1, b2: (batch,); all mod r.
+    Returns three LWEs over Q as ((batch, L, n), (batch, L)) pairs.
+    """
+    n, m, L = params.n, params.m, params.num_limbs
+    mask = jnp.uint32(params.mask_r)
+    plan = ctx.plan_Q
+
+    ua = (a1 + a2) & mask  # (batch, n)
+    ub = (b1 + b2) & mask  # (batch,)
+
+    batch = ua.shape[0]
+    # b0 = t(x) * DQ~ * x^{-ub}: rotate in the hat domain (gather-free bit
+    # ladder) and invert once, instead of a coefficient-domain gather
+    tpoly_hat_b = jnp.broadcast_to(ctx.tpoly_dq_hat, (batch, L, m))
+    shift = (jnp.uint32(2 * m) - ub) & jnp.uint32(2 * m - 1)
+    b_acc = ntt_mod.ntt_inv(
+        plan, ntt_mod.monomial_mul_hat(plan, tpoly_hat_b, shift)
+    )
+    a_acc = jnp.zeros((batch, L, m), dtype=jnp.uint32)
+
+    a_acc, b_acc = blind_rotate(
+        params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc, flat_key, fused
+    )
 
     i_and = 3 * m // 4
     i_or = m // 4

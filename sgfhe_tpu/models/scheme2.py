@@ -52,10 +52,20 @@ class Params:
     Dq: int
 
     @classmethod
-    def create(cls, k: int) -> "Params":
+    def create(cls, k: int, n: int | None = None) -> "Params":
+        """Paper §6.1 parameter sets: k in 1..5, n = 2^10.
+
+        `n` may be overridden with a smaller power of FOUR (so that sqrt(n)
+        and hence r stay powers of two) for fast unit tests; the paper's
+        security analysis assumes n >= 1024, so non-default n is test-only.
+        """
         assert 1 <= k <= 5, "paper provides parameter sets for k in 1..5"
-        n = 2**10
+        if n is None:
+            n = 2**10
         sqrt_n = math.isqrt(n)
+        assert sqrt_n * sqrt_n == n and sqrt_n & (sqrt_n - 1) == 0 and n >= 64, (
+            "n must be a power of four >= 64 (sqrt(n) enters r's derivation)"
+        )
         r = 2 ** (k + 6) * sqrt_n
         m = r // 2
         l = 2  # the reference's decomposition length (noise-bound input only)
@@ -122,9 +132,18 @@ class Scheme2Context:
     plan_q: ntt_mod.NttPlan
     rns_Q: rns_mod.RnsContext
     rns_q: rns_mod.RnsContext  # rescale target r
+    fused: object  # fused_mod.FusedTables — shared with the scheme-1 kernels
+
+    @property
+    def rns(self) -> rns_mod.RnsContext:
+        """Alias so the shared blind-rotation core (models/bootstrap.py
+        `blind_rotate`, ops/fused.py kernels) can consume this context."""
+        return self.rns_Q
 
 
 def make_context(params: Params) -> Scheme2Context:
+    from ..ops import fused as fused_mod
+
     plan_Q = ntt_mod.build_plan(params.moduli, params.m)
     plan_q = ntt_mod.build_plan(params.q_moduli, params.n)
     host_Q = rns_mod.build_context(params.moduli)
@@ -134,6 +153,7 @@ def make_context(params: Params) -> Scheme2Context:
         plan_q=plan_q,
         rns_Q=host_Q.device_context(),
         rns_q=host_q.device_context(),
+        fused=fused_mod.build_fused(plan_Q),
     )
 
 
@@ -195,51 +215,60 @@ class BootstrapKey:
     @classmethod
     def create(cls, ctx: Scheme2Context, sk: PrivateKey, key) -> "BootstrapKey":
         params = sk.params
-        n, m, L = params.n, params.m, params.num_limbs
-        l = params.num_digits
-        rows = 2 * l
-        plan = ctx.plan_Q
-        p_vec = plan.p
-        host = rns_mod.build_context(params.moduli)
-        rctx = host.device_context()
-
-        k_a, k_e = jax.random.split(key)
-        keys_a = jax.random.split(k_a, L)
-        a = jnp.stack(
-            [
-                jax.random.randint(
-                    keys_a[i], (n, rows, m), 0, p, dtype=jnp.int32
-                ).astype(jnp.uint32)
-                for i, p in enumerate(params.moduli)
-            ],
-            axis=-2,
-        )
-        e = jax.random.randint(
-            k_e, (n, rows, 1, m), -params.tau, params.tau + 1, dtype=jnp.int32
-        )
-        e_mod = mm.embed_signed(e, p_vec, plan.mu, plan.r_mod_p)
-
-        s_ext = pol.resize(sk.key, m)
-        s_rns = jnp.broadcast_to(s_ext, (L, m)).astype(jnp.uint32)
-        s_hat = ntt_mod.ntt_fwd(plan, s_rns)
-        b = ntt_mod.ntt_inv(
-            plan, ntt_mod.pointwise_mul(plan, ntt_mod.ntt_fwd(plan, a), s_hat)
-        )
-        b = mm.addmod(b, e_mod, p_vec)
-        C = jnp.stack([a, b], axis=2)
-
-        wv = rctx.w_val[..., 0]  # (l, L)
-        add0 = (sk.key[:, None, None] * wv[None]).astype(jnp.uint32)
-        delta = jnp.zeros((n, rows, 2, L, m), dtype=jnp.uint32)
-        delta = delta.at[:, :l, 0, :, 0].set(add0)
-        delta = delta.at[:, l:, 1, :, 0].set(add0)
-        C = mm.addmod(C, delta, p_vec)
-
-        hat = ntt_mod.ntt_fwd(plan, C)
+        L = params.num_limbs
+        hat = _bkey2_kernel(params, ctx, sk.key, key)
         hat_np = np.asarray(hat)
         mods = np.array(params.moduli, dtype=np.uint64).reshape(1, 1, 1, L, 1)
         shoup = ((hat_np.astype(np.uint64) << np.uint64(32)) // mods).astype(np.uint32)
         return cls(params, hat, jnp.asarray(shoup))
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnums=(0,))
+def _bkey2_kernel(params: Params, ctx: Scheme2Context, s_bits, key):
+    """Device computation of the scheme-2 bootstrap key as ONE jitted
+    program (eager per-op dispatch costs minutes over the device tunnel)."""
+    n, m, L = params.n, params.m, params.num_limbs
+    l = params.num_digits
+    rows = 2 * l
+    plan = ctx.plan_Q
+    p_vec = plan.p
+
+    k_a, k_e = jax.random.split(key)
+    keys_a = jax.random.split(k_a, L)
+    a = jnp.stack(
+        [
+            jax.random.randint(
+                keys_a[i], (n, rows, m), 0, p, dtype=jnp.int32
+            ).astype(jnp.uint32)
+            for i, p in enumerate(params.moduli)
+        ],
+        axis=-2,
+    )
+    e = jax.random.randint(
+        k_e, (n, rows, 1, m), -params.tau, params.tau + 1, dtype=jnp.int32
+    )
+    e_mod = mm.embed_signed(e, p_vec, plan.mu, plan.r_mod_p)
+
+    s_ext = pol.resize(s_bits, m)
+    s_rns = jnp.broadcast_to(s_ext, (L, m)).astype(jnp.uint32)
+    s_hat = ntt_mod.ntt_fwd(plan, s_rns)
+    b = ntt_mod.ntt_inv(
+        plan, ntt_mod.pointwise_mul(plan, ntt_mod.ntt_fwd(plan, a), s_hat)
+    )
+    b = mm.addmod(b, e_mod, p_vec)
+    C = jnp.stack([a, b], axis=2)
+
+    wv = ctx.rns_Q.w_val[..., 0]  # (l, L)
+    add0 = (s_bits[:, None, None] * wv[None]).astype(jnp.uint32)
+    delta = jnp.zeros((n, rows, 2, L, m), dtype=jnp.uint32)
+    delta = delta.at[:, :l, 0, :, 0].set(add0)
+    delta = delta.at[:, l:, 1, :, 0].set(add0)
+    C = mm.addmod(C, delta, p_vec)
+
+    return ntt_mod.ntt_fwd(plan, C)
 
 
 def deterministic_expand(params: Params, u: jax.Array) -> jax.Array:
@@ -342,3 +371,23 @@ def decrypt(sk: PrivateKey, a: jax.Array, b: jax.Array) -> jax.Array:
     b1 = (b - sa) & mask
     snapped = (b1 + jnp.uint32(params.Dr // 2)) & mask
     return (snapped // jnp.uint32(params.Dr)).astype(jnp.int32)
+
+
+# The functional bootstrap consuming BootstrapKey — capability the reference
+# never finished (src/fhe2.jl:6). Re-exported lazily (bootstrap2 imports this
+# module, so an eager import here would be circular).
+_BOOTSTRAP2_EXPORTS = frozenset(
+    {
+        "bootstrap", "add_with_carry", "apply_lut", "refresh",
+        "split_ciphertext", "decrypt_lwe", "lwe_phase_noise",
+        "make_table", "tables_hat",
+    }
+)
+
+
+def __getattr__(name: str):
+    if name in _BOOTSTRAP2_EXPORTS:
+        from . import bootstrap2
+
+        return getattr(bootstrap2, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
