@@ -99,6 +99,31 @@ def main():
         flush=True,
     )
 
+    # k-bit multiplication (quarter-squares, 3 rotation rounds / 7 lanes)
+    t0 = time.time()
+    lo, hi = bs2.mul(params, ctx, bkey, lx, ly)
+    jax.block_until_ready(lo.a)
+    print(f"mul compile+first batch: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    for _ in range(iters):
+        lo, hi = bs2.mul(params, ctx, bkey, lx, ly)
+    jax.block_until_ready(lo.a)
+    dt = (time.time() - t0) / iters
+    prod = x[idx] * y[idx]
+    got_lo = np.asarray(bs2.decrypt_lwe(sk, lo))
+    got_hi = np.asarray(bs2.decrypt_lwe(sk, hi))
+    if not ((got_lo == prod % 2**k).all() and (got_hi == prod // 2**k).all()):
+        print("FAIL: wrong product digits", file=sys.stderr)
+        sys.exit(1)
+    nl = np.abs(np.asarray(bs2.lwe_phase_noise(sk, lo, jnp.asarray(prod % 2**k))))
+    nh = np.abs(np.asarray(bs2.lwe_phase_noise(sk, hi, jnp.asarray(prod // 2**k))))
+    print(
+        f"scheme2 mul k={k}: {batch} muls in {dt*1e3:.1f} ms -> "
+        f"{batch/dt:.1f} muls/s (lo+hi digits verified); max |noise| "
+        f"{max(nl.max(), nh.max())} vs boundary {params.Dr // 2}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

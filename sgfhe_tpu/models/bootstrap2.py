@@ -151,6 +151,37 @@ def tables_hat(params: Params, ctx: Scheme2Context, f_tables) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _rotate_extract(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey_hat, bkey_shoup,
+    ua: jax.Array,         # (M, n) mod r
+    ub: jax.Array,         # (M,)
+    t0: jax.Array,         # (M, L, m) per-lane NTT-domain test vectors
+    flat_key,
+    fused,
+) -> LWE:
+    """Rotate each lane's own test vector by its own phase, extract
+    coefficient 0, switch Q->r. Returns an (M, n)/(M,) LWE batch."""
+    n, m = params.n, params.m
+    plan = ctx.plan_Q
+    M = ua.shape[0]
+    shift = (jnp.uint32(2 * m) - ub) & jnp.uint32(2 * m - 1)
+    b_acc = ntt_mod.ntt_inv(plan, ntt_mod.monomial_mul_hat(plan, t0, shift))
+    a_acc = jnp.zeros((M, params.num_limbs, m), dtype=jnp.uint32)
+    a_acc, b_acc = blind_rotate(
+        params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc, flat_key, fused
+    )
+    p = plan.p
+    a_q = pol.extract(a_acc, 0, n, p)            # (M, L, n)
+    b_q = b_acc[..., 0]                          # (M, L)
+    a_r = rns_mod.rescale_exact(ctx.rns_Q, a_q, params.r, params.moduli)
+    b_r = rns_mod.rescale_exact(
+        ctx.rns_Q, b_q[..., None], params.r, params.moduli
+    )[..., 0]
+    return LWE(a_r, b_r)
+
+
 @partial(jax.jit, static_argnums=(0, 6, 7))
 def _bootstrap_jit(
     params: Params,
@@ -163,33 +194,18 @@ def _bootstrap_jit(
     fused: tuple[str, bool] = ("none", False),
     flat_key=None,
 ):
-    n, m, L = params.n, params.m, params.num_limbs
-    plan = ctx.plan_Q
     B = lwe_u.a.shape[0]
     F = t_hats.shape[0]
-
     # gate-major lanes: input g occupies lanes [g*F, (g+1)*F), one per table
     ua = jnp.repeat(lwe_u.a, F, axis=0)          # (B*F, n)
     ub = jnp.repeat(lwe_u.b, F, axis=0)          # (B*F,)
     t0 = jnp.tile(t_hats, (B, 1, 1))             # (B*F, L, m)
-
-    shift = (jnp.uint32(2 * m) - ub) & jnp.uint32(2 * m - 1)
-    b_acc = ntt_mod.ntt_inv(plan, ntt_mod.monomial_mul_hat(plan, t0, shift))
-    a_acc = jnp.zeros((B * F, L, m), dtype=jnp.uint32)
-
     fk = flat_key if randomized else None
-    a_acc, b_acc = blind_rotate(
-        params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc, fk, fused
+    out = _rotate_extract(
+        params, ctx, bkey_hat, bkey_shoup, ua, ub, t0, fk, fused
     )
-
-    p = plan.p
-    a_q = pol.extract(a_acc, 0, n, p)            # (B*F, L, n)
-    b_q = b_acc[..., 0]                          # (B*F, L)
-    a_r = rns_mod.rescale_exact(ctx.rns_Q, a_q, params.r, params.moduli)
-    b_r = rns_mod.rescale_exact(
-        ctx.rns_Q, b_q[..., None], params.r, params.moduli
-    )[..., 0]
-    return LWE(a_r.reshape(B, F, n), b_r.reshape(B, F))
+    n = params.n
+    return LWE(out.a.reshape(B, F, n), out.b.reshape(B, F))
 
 
 def bootstrap(
@@ -281,3 +297,134 @@ def refresh(
     return apply_lut(
         params, ctx, bkey, lwe, list(range(2**params.k)), flat_key
     )
+
+
+# ---------------------------------------------------------------------------
+# k-bit multiplication (the other half of "k-bit arithmetic operations")
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 6, 7))
+def _bootstrap_paired_jit(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey_hat: jax.Array,
+    bkey_shoup: jax.Array,
+    lwe_u: LWE,            # (M, n)/(M,) — one phase per lane
+    t0: jax.Array,         # (M, L, m) — one test vector per lane
+    randomized: bool = False,
+    fused: tuple[str, bool] = ("none", False),
+    flat_key=None,
+):
+    fk = flat_key if randomized else None
+    return _rotate_extract(
+        params, ctx, bkey_hat, bkey_shoup, lwe_u.a, lwe_u.b, t0, fk, fused
+    )
+
+
+def _lane(out: LWE, i: int, stride: int) -> LWE:
+    return LWE(out.a[i::stride], out.b[i::stride])
+
+
+def mul(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    lwe1: LWE,
+    lwe2: LWE,
+    flat_key=None,
+) -> tuple[LWE, LWE]:
+    """k-bit digit multiplication: x·y -> (low digit, high digit), both
+    REFRESHED ciphertexts.
+
+    Uses the quarter-squares identity x·y = ⌊(x+y)²/4⌋ − ⌊(x−y)²/4⌋ (exact
+    for integers: x+y and x−y share parity), which turns the bivariate
+    product into two UNARY square LUTs the functional bootstrap can evaluate:
+
+      round 1 (one rotation, 4 lanes/gate): quarter-squares of the sum phase
+              and of the offset difference phase, each split into its low and
+              high output digits;
+      round 2 (one rotation, 2 lanes/gate): low digit of the difference of
+              quarter-squares plus its borrow bit;
+      round 3 (one rotation, 1 lane/gate): high digit minus the borrow.
+
+    All intermediate operands are bootstrap outputs (refreshed), so every
+    phase entering a rotation carries O(1) noise against the Dr/2 boundary.
+    The reference's scheme-2 module never reached any homomorphic op
+    (src/fhe2.jl:6); eprint 2019/521 §1 names k-bit multiplication as the
+    scheme's goal."""
+    k = params.k
+    K = 2**k
+    Dr = params.Dr
+    mask = jnp.uint32(params.mask_r)
+    n = params.n
+    B = lwe1.a.shape[0]
+    fused = _use_fused(params, flat_key)
+    if flat_key is not None:
+        fk1, fk2, fk3 = jax.random.split(flat_key, 3)
+    else:
+        fk1 = fk2 = fk3 = None
+    randomized = flat_key is not None
+
+    # phases: z_sum = x + y in [0, 2K); z_diff = (x - y) + K in (0, 2K)
+    u_sum = _lwe_sum(params, lwe1, lwe2)
+    u_diff = LWE(
+        (lwe1.a - lwe2.a) & mask,
+        (lwe1.b - lwe2.b + jnp.uint32(K * Dr)) & mask,
+    )
+    qs_sum = [(z * z) // 4 for z in range(2 * K)]
+    qs_diff = [((z - K) * (z - K)) // 4 for z in range(2 * K)]
+    th4 = tables_hat(
+        params, ctx,
+        [
+            [q % K for q in qs_sum], [q // K for q in qs_sum],
+            [q % K for q in qs_diff], [q // K for q in qs_diff],
+        ],
+    )  # (4, L, m)
+
+    # gate-major lanes (sum, sum, diff, diff) matching tables (0, 1, 2, 3)
+    ua = jnp.stack(
+        [u_sum.a, u_sum.a, u_diff.a, u_diff.a], axis=1
+    ).reshape(4 * B, n)
+    ub = jnp.stack([u_sum.b, u_sum.b, u_diff.b, u_diff.b], axis=1).reshape(-1)
+    t0 = jnp.tile(th4, (B, 1, 1))
+    out1 = _bootstrap_paired_jit(
+        params, ctx, bkey.hat, bkey.hat_shoup, LWE(ua, ub), t0,
+        randomized, fused, fk1,
+    )
+    s_lo, s_hi = _lane(out1, 0, 4), _lane(out1, 1, 4)
+    d_lo, d_hi = _lane(out1, 2, 4), _lane(out1, 3, 4)
+
+    # round 2: v = s_lo - d_lo in (-K, K); z = v + K; output v mod K and the
+    # borrow [v < 0]
+    u_lo = LWE(
+        (s_lo.a - d_lo.a) & mask,
+        (s_lo.b - d_lo.b + jnp.uint32(K * Dr)) & mask,
+    )
+    th2 = tables_hat(
+        params, ctx,
+        [
+            [(z - K) % K for z in range(2 * K)],
+            [1 if z < K else 0 for z in range(2 * K)],
+        ],
+    )
+    out2 = _bootstrap_jit(
+        params, ctx, bkey.hat, bkey.hat_shoup, u_lo, th2,
+        randomized, fused, fk2,
+    )
+    lo_p = LWE(out2.a[:, 0], out2.b[:, 0])
+    borrow = LWE(out2.a[:, 1], out2.b[:, 1])
+
+    # round 3: high digit s_hi - d_hi - borrow (always in [0, K) for a true
+    # product: S1 >= S2 by the quarter-squares identity)
+    u_hi = LWE(
+        (s_hi.a - d_hi.a - borrow.a) & mask,
+        (s_hi.b - d_hi.b - borrow.b + jnp.uint32(K * Dr)) & mask,
+    )
+    th1 = tables_hat(params, ctx, [[(z - K) % K for z in range(2 * K)]])
+    out3 = _bootstrap_jit(
+        params, ctx, bkey.hat, bkey.hat_shoup, u_hi, th1,
+        randomized, fused, fk3,
+    )
+    hi_p = LWE(out3.a[:, 0], out3.b[:, 0])
+    return lo_p, hi_p

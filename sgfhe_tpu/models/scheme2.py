@@ -378,7 +378,7 @@ def decrypt(sk: PrivateKey, a: jax.Array, b: jax.Array) -> jax.Array:
 # module, so an eager import here would be circular).
 _BOOTSTRAP2_EXPORTS = frozenset(
     {
-        "bootstrap", "add_with_carry", "apply_lut", "refresh",
+        "bootstrap", "add_with_carry", "mul", "apply_lut", "refresh",
         "split_ciphertext", "decrypt_lwe", "lwe_phase_noise",
         "make_table", "tables_hat",
     }

@@ -157,6 +157,54 @@ def test_randomized_flattening(toy_k1):
     assert not (np.asarray(digit.a) == np.asarray(d_det.a)).all()
 
 
+@pytest.mark.parametrize("fixture", ["toy_k1", "toy_k2"])
+def test_mul_exhaustive(fixture, request):
+    """k-bit digit multiplication via quarter-squares: every (x, y) pair in
+    [0, 2^k)^2 in one batch; low and high product digits must both be exact
+    and refreshed."""
+    params, ctx, sk, bkey = request.getfixturevalue(fixture)
+    k = params.k
+    K = 2**k
+    pairs = [(x, y) for x in range(K) for y in range(K)]
+    xs = np.array([p[0] for p in pairs])
+    ys = np.array([p[1] for p in pairs])
+
+    def enc(col, seed):
+        msg = np.zeros(params.n, dtype=np.int64)
+        msg[: col.shape[0]] = col
+        return _take(_enc_lwes(params, sk, msg, seed), slice(0, len(pairs)))
+
+    lx = enc(xs, 300 + k)
+    ly = enc(ys, 301 + k)
+    lo, hi = bs2.mul(params, ctx, bkey, lx, ly)
+    got_lo = np.asarray(bs2.decrypt_lwe(sk, lo))
+    got_hi = np.asarray(bs2.decrypt_lwe(sk, hi))
+    prod = xs * ys
+    np.testing.assert_array_equal(got_lo, prod % K)
+    np.testing.assert_array_equal(got_hi, prod // K)
+    nlo = np.asarray(bs2.lwe_phase_noise(sk, lo, jnp.asarray(prod % K)))
+    nhi = np.asarray(bs2.lwe_phase_noise(sk, hi, jnp.asarray(prod // K)))
+    assert max(np.abs(nlo).max(), np.abs(nhi).max()) < params.Dr // 4
+
+
+def test_mul_randomized(toy_k1):
+    params, ctx, sk, bkey = toy_k1
+    K = 2**params.k
+    pairs = [(x, y) for x in range(K) for y in range(K)]
+    xs = np.array([p[0] for p in pairs])
+    ys = np.array([p[1] for p in pairs])
+    msgx = np.zeros(params.n, dtype=np.int64)
+    msgx[: len(pairs)] = xs
+    msgy = np.zeros(params.n, dtype=np.int64)
+    msgy[: len(pairs)] = ys
+    lx = _take(_enc_lwes(params, sk, msgx, 310), slice(0, len(pairs)))
+    ly = _take(_enc_lwes(params, sk, msgy, 311), slice(0, len(pairs)))
+    lo, hi = bs2.mul(params, ctx, bkey, lx, ly, flat_key=jax.random.key(312))
+    prod = xs * ys
+    np.testing.assert_array_equal(np.asarray(bs2.decrypt_lwe(sk, lo)), prod % K)
+    np.testing.assert_array_equal(np.asarray(bs2.decrypt_lwe(sk, hi)), prod // K)
+
+
 def test_fused_interpret_matches_jnp(toy_k1):
     """The scheme-2 path through the shared Pallas kernels must be
     bit-identical to the jnp path (same invariant as scheme 1,
