@@ -390,4 +390,8 @@ def __getattr__(name: str):
         from . import bootstrap2
 
         return getattr(bootstrap2, name)
+    if name == "wideint":  # encrypted wide-integer arithmetic on k-bit digits
+        from . import wideint
+
+        return wideint
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

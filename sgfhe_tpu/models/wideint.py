@@ -1,0 +1,154 @@
+"""Encrypted wide-integer arithmetic over scheme-2 digits (eprint 2019/521).
+
+The point of the k-bit scheme is arithmetic on WIDE integers represented as
+base-2^k digit vectors (paper §1). This module composes the functional
+bootstrap (models/bootstrap2.py) into batched wide ops:
+
+ - numbers are little-endian lists of W digit ciphertexts, each an (B, n)
+   LWE batch (B independent integers per op);
+ - `add_wide`: ripple-carry via `add_with_carry` — W rotations, returns
+   W+1 digits;
+ - `mul_wide`: schoolbook — ALL W² digit products run as one batched
+   `mul` call (3 rotation rounds regardless of W), then column sums with
+   carry propagation via pairwise `add_with_carry`;
+ - every output digit is a refreshed ciphertext, so results chain into
+   further arithmetic indefinitely (the depth soak in the tests).
+
+The reference's scheme-2 module has no homomorphic ops at all
+(src/fhe2.jl:6); this is capability beyond the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .scheme1 import LWE
+from .scheme2 import Params, Scheme2Context, PrivateKey, BootstrapKey
+from . import bootstrap2 as bs2
+
+
+def encrypt_wide(
+    sk: PrivateKey, key: jax.Array, values, width: int
+) -> list[LWE]:
+    """Encrypt B integers in [0, 2^(k*width)) as `width` base-2^k digit
+    ciphertext batches. values: (B,) ints; B <= n."""
+    from . import scheme2 as s2
+
+    params = sk.params
+    k = params.k
+    values = np.asarray(values, dtype=np.int64)
+    B = values.shape[0]
+    assert B <= params.n
+    assert (values >= 0).all() and (values < 2 ** (k * width)).all()
+    digits = []
+    keys = jax.random.split(key, width)
+    for j in range(width):
+        msg = np.zeros(params.n, dtype=np.int64)
+        msg[:B] = (values >> (k * j)) & (2**k - 1)
+        a, b = s2.encrypt(sk, keys[j], jnp.asarray(msg))
+        lw = bs2.split_ciphertext(params, a, b)
+        digits.append(LWE(lw.a[:B], lw.b[:B]))
+    return digits
+
+
+def decrypt_wide(sk: PrivateKey, digits: list[LWE]) -> np.ndarray:
+    """Decrypt a digit-vector ciphertext back to (B,) integers."""
+    k = sk.params.k
+    out = None
+    for j, d in enumerate(digits):
+        v = np.asarray(bs2.decrypt_lwe(sk, d)).astype(np.int64)
+        out = v << (k * j) if out is None else out + (v << (k * j))
+    return out
+
+
+def _zero_like(lwe: LWE) -> LWE:
+    """Trivial (noiseless, keyless) encryption of 0."""
+    return LWE(jnp.zeros_like(lwe.a), jnp.zeros_like(lwe.b))
+
+
+def add_wide(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    xs: list[LWE],
+    ys: list[LWE],
+    flat_key=None,
+) -> list[LWE]:
+    """Ripple-carry addition of two W-digit numbers -> W+1 digits (the last
+    is the carry-out bit). W sequential rotations, each batched over B."""
+    W = len(xs)
+    assert len(ys) == W
+    if flat_key is not None:
+        keys = list(jax.random.split(flat_key, W))
+    else:
+        keys = [None] * W
+    carry = None
+    out = []
+    for j in range(W):
+        d, carry = bs2.add_with_carry(
+            params, ctx, bkey, xs[j], ys[j], carry, keys[j]
+        )
+        out.append(d)
+    out.append(carry)
+    return out
+
+
+def mul_wide(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    xs: list[LWE],
+    ys: list[LWE],
+    flat_key=None,
+) -> list[LWE]:
+    """Schoolbook multiplication of two W-digit numbers -> 2W digits.
+
+    All W² digit products run as ONE batched quarter-squares `mul` (3
+    rotation rounds total); the partial-product columns then reduce with
+    pairwise add_with_carry, feeding carry bits into the next column. The
+    final carry out of column 2W-1 is provably zero ((2^{kW}-1)² < 2^{2kW})
+    and is dropped."""
+    W = len(xs)
+    assert len(ys) == W
+    B = xs[0].a.shape[0]
+    key_state = [flat_key]
+
+    def next_key():
+        if key_state[0] is None:
+            return None
+        key_state[0], sub = jax.random.split(key_state[0])
+        return sub
+
+    # one batched mul over all (i, j) digit pairs: lanes (i*W + j)-major
+    l1 = LWE(
+        jnp.concatenate([xs[i].a for i in range(W) for _ in range(W)]),
+        jnp.concatenate([xs[i].b for i in range(W) for _ in range(W)]),
+    )
+    l2 = LWE(
+        jnp.concatenate([ys[j].a for _ in range(W) for j in range(W)]),
+        jnp.concatenate([ys[j].b for _ in range(W) for j in range(W)]),
+    )
+    lo, hi = bs2.mul(params, ctx, bkey, l1, l2, next_key())
+
+    cols: list[list[LWE]] = [[] for _ in range(2 * W + 1)]
+    for i in range(W):
+        for j in range(W):
+            s = slice((i * W + j) * B, (i * W + j + 1) * B)
+            cols[i + j].append(LWE(lo.a[s], lo.b[s]))
+            cols[i + j + 1].append(LWE(hi.a[s], hi.b[s]))
+
+    out = []
+    for c in range(2 * W):
+        pend = cols[c]
+        while len(pend) > 1:
+            a = pend.pop()
+            b = pend.pop()
+            d, carry = bs2.add_with_carry(
+                params, ctx, bkey, a, b, None, next_key()
+            )
+            pend.append(d)
+            cols[c + 1].append(carry)
+        out.append(pend[0] if pend else _zero_like(out[0]))
+    return out

@@ -1,0 +1,77 @@
+"""Encrypted wide-integer arithmetic (models/wideint.py) over scheme-2
+digits — composition of the functional bootstrap into multi-digit adds and
+schoolbook multiplies, all at toy n=64 (hardware runs: examples/scheme2_add.py
+and RESULTS.md)."""
+
+import numpy as np
+import pytest
+import jax
+
+from sgfhe_tpu.models import scheme2 as s2
+from sgfhe_tpu.models import wideint as wi
+
+
+@pytest.fixture(scope="module")
+def toy_k1():
+    params = s2.Params.create(1, n=64)
+    ctx = s2.make_context(params)
+    sk = s2.PrivateKey.create(params, jax.random.key(1))
+    bkey = s2.BootstrapKey.create(ctx, sk, jax.random.key(2))
+    return params, ctx, sk, bkey
+
+
+def test_encrypt_decrypt_wide(toy_k1):
+    params, ctx, sk, bkey = toy_k1
+    k, W, B = params.k, 4, 12
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 2 ** (k * W), B)
+    digits = wi.encrypt_wide(sk, jax.random.key(6), vals, W)
+    np.testing.assert_array_equal(wi.decrypt_wide(sk, digits), vals)
+
+
+def test_add_wide(toy_k1):
+    params, ctx, sk, bkey = toy_k1
+    k, W, B = params.k, 3, 8
+    rng = np.random.default_rng(8)
+    xs_v = rng.integers(0, 2 ** (k * W), B)
+    ys_v = rng.integers(0, 2 ** (k * W), B)
+    xs = wi.encrypt_wide(sk, jax.random.key(9), xs_v, W)
+    ys = wi.encrypt_wide(sk, jax.random.key(10), ys_v, W)
+    out = wi.add_wide(params, ctx, bkey, xs, ys)
+    assert len(out) == W + 1
+    np.testing.assert_array_equal(wi.decrypt_wide(sk, out), xs_v + ys_v)
+
+
+def test_mul_wide_and_chain(toy_k1):
+    """2-digit schoolbook product (one batched digit-mul round + column
+    reduction), then CHAIN: feed the product into a further add_wide — the
+    outputs must still decrypt exactly (every digit is refreshed)."""
+    params, ctx, sk, bkey = toy_k1
+    k, W, B = params.k, 2, 8
+    rng = np.random.default_rng(12)
+    xs_v = rng.integers(0, 2 ** (k * W), B)
+    ys_v = rng.integers(0, 2 ** (k * W), B)
+    xs = wi.encrypt_wide(sk, jax.random.key(13), xs_v, W)
+    ys = wi.encrypt_wide(sk, jax.random.key(14), ys_v, W)
+    prod = wi.mul_wide(params, ctx, bkey, xs, ys)
+    assert len(prod) == 2 * W
+    np.testing.assert_array_equal(wi.decrypt_wide(sk, prod), xs_v * ys_v)
+
+    zs_v = rng.integers(0, 2 ** (k * 2 * W), B)
+    zs = wi.encrypt_wide(sk, jax.random.key(15), zs_v, 2 * W)
+    total = wi.add_wide(params, ctx, bkey, prod, zs)
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, total), xs_v * ys_v + zs_v
+    )
+
+
+def test_mul_wide_randomized(toy_k1):
+    params, ctx, sk, bkey = toy_k1
+    k, W, B = params.k, 2, 4
+    rng = np.random.default_rng(16)
+    xs_v = rng.integers(0, 2 ** (k * W), B)
+    ys_v = rng.integers(0, 2 ** (k * W), B)
+    xs = wi.encrypt_wide(sk, jax.random.key(17), xs_v, W)
+    ys = wi.encrypt_wide(sk, jax.random.key(18), ys_v, W)
+    prod = wi.mul_wide(params, ctx, bkey, xs, ys, flat_key=jax.random.key(19))
+    np.testing.assert_array_equal(wi.decrypt_wide(sk, prod), xs_v * ys_v)
