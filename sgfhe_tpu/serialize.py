@@ -84,6 +84,8 @@ _T_CIPHERTEXT = 5
 _T_ENCRYPTED_BIT = 6
 _T_PRIVATE_CT = 7
 _T_PUBLIC_CT = 8
+_T_S2_CIPHERTEXT = 9   # scheme-2 (a, b) digit-polynomial pair mod r
+_T_S2_LWE = 10         # scheme-2 digit LWE batch (split/bootstrap outputs)
 
 
 def _frame(type_code: int, meta: dict, payload: bytes) -> bytes:
@@ -187,9 +189,69 @@ def to_wire(obj) -> bytes:
     raise TypeError(f"no wire format for {type(obj)}")
 
 
+def s2_ciphertext_to_wire(params: "s2.Params", a, b) -> bytes:
+    """Scheme-2 digit-polynomial ciphertext (the bare (a, b) pair the
+    scheme-2 encrypt returns, reference src/fhe2.jl:165-210) -> wire frame.
+    log2(r) bits per coefficient."""
+    w = params.r.bit_length() - 1
+    a = np.asarray(a)
+    b = np.asarray(b)
+    payload = native.pack_uint(a.reshape(-1), w) + native.pack_uint(
+        b.reshape(-1), w
+    )
+    return _frame(
+        _T_S2_CIPHERTEXT, {"k": params.k, "n": params.n}, payload
+    )
+
+
+def s2_lwe_to_wire(params: "s2.Params", lwe) -> bytes:
+    """Scheme-2 digit LWE batch (split_ciphertext / bootstrap outputs)."""
+    a = np.asarray(lwe.a)
+    b = np.asarray(lwe.b)
+    n = a.shape[-1]
+    bshape = list(a.shape[:-1])
+    if list(b.shape) != bshape:
+        raise ValueError(
+            f"LWE a/b batch shapes disagree: {a.shape[:-1]} vs {b.shape}"
+        )
+    rows = int(np.prod(bshape, dtype=np.int64)) if bshape else 1
+    w = params.r.bit_length() - 1
+    payload = native.pack_uint(a.reshape(rows * n), w) + native.pack_uint(
+        np.atleast_1d(b).reshape(rows), w
+    )
+    return _frame(
+        _T_S2_LWE,
+        {"k": params.k, "n": params.n, "shape": bshape},
+        payload,
+    )
+
+
 def from_wire(raw: bytes):
     """Parse a wire frame back into its object (CRC verified)."""
     type_code, meta, payload = _unframe(raw)
+    if type_code == _T_S2_CIPHERTEXT:
+        p2 = s2.Params.create(meta["k"], n=meta["n"])
+        w = p2.r.bit_length() - 1
+        a_bytes = (p2.n * w + 7) // 8
+        a = native.unpack_uint(payload[:a_bytes], p2.n, w)
+        b = native.unpack_uint(payload[a_bytes:], p2.n, w)
+        return p2, jnp.asarray(a), jnp.asarray(b)
+    if type_code == _T_S2_LWE:
+        p2 = s2.Params.create(meta["k"], n=meta["n"])
+        n = p2.n
+        bshape = tuple(meta["shape"])
+        rows = 1
+        for d in bshape:
+            rows *= d
+        w = p2.r.bit_length() - 1
+        a_bytes = (rows * n * w + 7) // 8
+        a = native.unpack_uint(payload[:a_bytes], rows * n, w)
+        b = native.unpack_uint(payload[a_bytes:], rows, w)
+        if not bshape:
+            return p2, s1.LWE(jnp.asarray(a), jnp.asarray(b[0]))
+        return p2, s1.LWE(
+            jnp.asarray(a.reshape(bshape + (n,))), jnp.asarray(b.reshape(bshape))
+        )
     if type_code == _T_ENCRYPTED_BIT:
         n = meta["n"]
         if "shape" in meta:
@@ -254,7 +316,7 @@ def _params_meta(params) -> str:
     if isinstance(params, Params):
         return json.dumps({"scheme": 1, "n": params.n})
     if isinstance(params, s2.Params):
-        return json.dumps({"scheme": 2, "k": params.k})
+        return json.dumps({"scheme": 2, "k": params.k, "n": params.n})
     raise TypeError(type(params))
 
 
@@ -262,7 +324,8 @@ def _params_from_meta(meta: str):
     d = json.loads(meta)
     if d["scheme"] == 1:
         return Params.create(d["n"])
-    return s2.Params.create(d["k"])
+    # "n" absent in pre-r3 checkpoints (always the paper's default 1024)
+    return s2.Params.create(d["k"], n=d.get("n"))
 
 
 _SAVERS = {

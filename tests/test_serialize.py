@@ -127,6 +127,69 @@ def test_wire_short_input_clean_error():
             serialize.from_wire(raw)
 
 
+def test_wire_scheme2_ciphertext_roundtrip():
+    """Scheme-2 (a, b) digit-polynomial ciphertexts roundtrip over the wire
+    at log2(r) bits/coefficient and the restored pair still decrypts."""
+    from sgfhe_tpu.models import scheme2 as s2
+
+    params = s2.Params.create(1, n=64)
+    sk = s2.PrivateKey.create(params, jax.random.key(1))
+    msg = jax.random.randint(jax.random.key(2), (params.n,), 0, 2**params.k)
+    a, b = s2.encrypt(sk, jax.random.key(3), msg)
+
+    raw = serialize.s2_ciphertext_to_wire(params, a, b)
+    w = params.r.bit_length() - 1
+    assert len(raw) <= 2 * ((params.n * w + 7) // 8) + 96
+    p2, a2, b2 = serialize.from_wire(raw)
+    assert p2.k == params.k and p2.n == params.n
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(b2), np.asarray(b))
+    dec = np.asarray(s2.decrypt(sk, a2, b2))
+    np.testing.assert_array_equal(dec, np.asarray(msg))
+
+
+def test_wire_scheme2_lwe_roundtrip():
+    """Scheme-2 digit LWEs (split_ciphertext / bootstrap outputs) roundtrip
+    for scalar, 1-D, and 2-D batch shapes."""
+    from sgfhe_tpu.models import scheme2 as s2
+    from sgfhe_tpu.models import bootstrap2 as b2
+
+    params = s2.Params.create(2, n=64)
+    rng = np.random.default_rng(11)
+    for shape in [(), (5,), (3, 4)]:
+        a = jnp.asarray(
+            rng.integers(0, params.r, size=shape + (params.n,), dtype=np.uint32)
+        )
+        b = jnp.asarray(rng.integers(0, params.r, size=shape, dtype=np.uint32))
+        if shape == ():
+            b = jnp.uint32(int(b))
+        lwe = F.LWE(a, b)
+        p2, lwe2 = serialize.from_wire(serialize.s2_lwe_to_wire(params, lwe))
+        assert p2.k == params.k and p2.n == params.n
+        assert np.asarray(lwe2.a).shape == shape + (params.n,)
+        np.testing.assert_array_equal(np.asarray(lwe2.a), np.asarray(a))
+        np.testing.assert_array_equal(np.asarray(lwe2.b), np.asarray(b))
+
+    # a real split_ciphertext output survives the wire and still decrypts
+    sk = s2.PrivateKey.create(params, jax.random.key(4))
+    msg = jax.random.randint(jax.random.key(5), (params.n,), 0, 2**params.k)
+    a, b = s2.encrypt(sk, jax.random.key(6), msg)
+    lwes = b2.split_ciphertext(params, a, b)
+    _, lwes2 = serialize.from_wire(serialize.s2_lwe_to_wire(params, lwes))
+    dec = np.asarray(b2.decrypt_lwe(sk, lwes2))
+    np.testing.assert_array_equal(dec, np.asarray(msg))
+
+
+def test_wire_scheme2_lwe_shape_mismatch():
+    from sgfhe_tpu.models import scheme2 as s2
+
+    params = s2.Params.create(1, n=64)
+    a = jnp.zeros((4, params.n), jnp.uint32)
+    b = jnp.zeros((3,), jnp.uint32)
+    with pytest.raises(ValueError, match="batch shapes"):
+        serialize.s2_lwe_to_wire(params, F.LWE(a, b))
+
+
 def test_wire_encrypted_bit_nd_batch(setup):
     """EncryptedBit wire frames preserve ARBITRARY batch shapes (the old
     format flattened >2-D batches to (batch, n))."""
