@@ -152,3 +152,110 @@ def mul_wide(
             cols[c + 1].append(carry)
         out.append(pend[0] if pend else _zero_like(out[0]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Subtraction and comparison (two's complement over base-2^k digits)
+# ---------------------------------------------------------------------------
+
+
+def _trivial_const(params: Params, batch_shape, value: int) -> LWE:
+    """Noiseless trivial encryption of a constant digit (a = 0,
+    b = value*Dr) — the scheme-2 analog of the reference's trivial
+    LWE(0, Dr) in pack_encrypted_bits (src/fhe.jl:670-671)."""
+    b = jnp.full(
+        batch_shape, (value * params.Dr) % params.r, dtype=jnp.uint32
+    )
+    a = jnp.zeros(tuple(batch_shape) + (params.n,), dtype=jnp.uint32)
+    return LWE(a, b)
+
+
+def complement_digit(params: Params, lwe: LWE) -> LWE:
+    """(2^k - 1) - d, computed LINEARLY (negate mod r and add a constant;
+    no bootstrap, noise magnitude unchanged)."""
+    mask = jnp.uint32(params.mask_r)
+    c = jnp.uint32(((2**params.k - 1) * params.Dr) & params.mask_r)
+    return LWE((-lwe.a) & mask, (c - lwe.b) & mask)
+
+
+def flag_not(params: Params, lwe: LWE) -> LWE:
+    """1 - f for a 0/1 flag digit, linear (no bootstrap)."""
+    mask = jnp.uint32(params.mask_r)
+    return LWE((-lwe.a) & mask, (jnp.uint32(params.Dr) - lwe.b) & mask)
+
+
+def sub_wide(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    xs: list[LWE],
+    ys: list[LWE],
+    flat_key=None,
+) -> tuple[list[LWE], LWE]:
+    """Two's-complement subtraction: x - y = x + comp(y) + 1 digit-wise.
+
+    Returns (diff, ge): diff = (x - y) mod 2^{kW} as W refreshed digits and
+    ge = the final carry, an encrypted [x >= y] flag (carry-out == no
+    borrow). Same cost as add_wide: W rotations, each batched over B.
+    Digit sums stay in [0, 2^{k+1}) — the same combined domain
+    add_with_carry already evaluates over."""
+    W = len(xs)
+    assert len(ys) == W
+    if flat_key is not None:
+        keys = list(jax.random.split(flat_key, W))
+    else:
+        keys = [None] * W
+    carry = _trivial_const(params, xs[0].b.shape, 1)
+    out = []
+    for j in range(W):
+        d, carry = bs2.add_with_carry(
+            params, ctx, bkey, xs[j], complement_digit(params, ys[j]),
+            carry, keys[j],
+        )
+        out.append(d)
+    return out, carry
+
+
+def ge_wide(params, ctx, bkey, xs, ys, flat_key=None) -> LWE:
+    """Encrypted [x >= y] flag (W rotations; the diff digits are free but
+    discarded)."""
+    return sub_wide(params, ctx, bkey, xs, ys, flat_key)[1]
+
+
+def flag_and(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    f1: LWE,
+    f2: LWE,
+    flat_key=None,
+) -> LWE:
+    """AND of two 0/1 flag digits in ONE rotation: table [f1+f2 >= 2] over
+    the combined domain (works for every k, including k=1 where 2 == 2^k)."""
+    zmax = 2 ** (params.k + 1)
+    tab = [1 if z >= 2 else 0 for z in range(zmax)]
+    u = bs2._lwe_sum(params, f1, f2)
+    th = bs2.tables_hat(params, ctx, [tab])
+    out = bs2.bootstrap(params, ctx, bkey, u, th, flat_key)
+    return LWE(out.a[:, 0], out.b[:, 0])
+
+
+def eq_wide(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    xs: list[LWE],
+    ys: list[LWE],
+    flat_key=None,
+) -> LWE:
+    """Encrypted [x == y] flag: ge(x,y) AND ge(y,x) — 2W+1 rotations."""
+    if flat_key is not None:
+        k1, k2, k3 = jax.random.split(flat_key, 3)
+    else:
+        k1 = k2 = k3 = None
+    return flag_and(
+        params, ctx, bkey,
+        ge_wide(params, ctx, bkey, xs, ys, k1),
+        ge_wide(params, ctx, bkey, ys, xs, k2),
+        k3,
+    )

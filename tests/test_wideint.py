@@ -75,3 +75,51 @@ def test_mul_wide_randomized(toy_k1):
     ys = wi.encrypt_wide(sk, jax.random.key(18), ys_v, W)
     prod = wi.mul_wide(params, ctx, bkey, xs, ys, flat_key=jax.random.key(19))
     np.testing.assert_array_equal(wi.decrypt_wide(sk, prod), xs_v * ys_v)
+
+
+def test_sub_wide_and_compare(toy_k1):
+    """Two's-complement subtraction: diff digits, the [x >= y] carry flag,
+    linear NOT, and the eq_wide AND-composition all decrypt exactly."""
+    params, ctx, sk, bkey = toy_k1
+    k, W, B = params.k, 3, 10
+    rng = np.random.default_rng(21)
+    xs_v = rng.integers(0, 2 ** (k * W), B)
+    ys_v = rng.integers(0, 2 ** (k * W), B)
+    # force a few ties and an x < y / x > y on known lanes
+    ys_v[0] = xs_v[0]
+    xs_v[1], ys_v[1] = 0, 2 ** (k * W) - 1
+    xs_v[2], ys_v[2] = 2 ** (k * W) - 1, 0
+    xs = wi.encrypt_wide(sk, jax.random.key(22), xs_v, W)
+    ys = wi.encrypt_wide(sk, jax.random.key(23), ys_v, W)
+
+    diff, ge = wi.sub_wide(params, ctx, bkey, xs, ys)
+    from sgfhe_tpu.models import bootstrap2 as bs2
+
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, diff), (xs_v - ys_v) % 2 ** (k * W)
+    )
+    ge_v = np.asarray(bs2.decrypt_lwe(sk, ge))
+    np.testing.assert_array_equal(ge_v, (xs_v >= ys_v).astype(int))
+    lt_v = np.asarray(bs2.decrypt_lwe(sk, wi.flag_not(params, ge)))
+    np.testing.assert_array_equal(lt_v, (xs_v < ys_v).astype(int))
+
+    eq = wi.eq_wide(params, ctx, bkey, xs, ys)
+    np.testing.assert_array_equal(
+        np.asarray(bs2.decrypt_lwe(sk, eq)), (xs_v == ys_v).astype(int)
+    )
+
+
+def test_sub_wide_randomized(toy_k1):
+    params, ctx, sk, bkey = toy_k1
+    k, W, B = params.k, 2, 6
+    rng = np.random.default_rng(31)
+    xs_v = rng.integers(0, 2 ** (k * W), B)
+    ys_v = rng.integers(0, 2 ** (k * W), B)
+    xs = wi.encrypt_wide(sk, jax.random.key(32), xs_v, W)
+    ys = wi.encrypt_wide(sk, jax.random.key(33), ys_v, W)
+    diff, ge = wi.sub_wide(
+        params, ctx, bkey, xs, ys, flat_key=jax.random.key(34)
+    )
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, diff), (xs_v - ys_v) % 2 ** (k * W)
+    )
