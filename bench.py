@@ -153,7 +153,7 @@ def report_roofline(params, gates_per_sec):
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     gates_per_sec, dt, params64 = bench_gates(n=64, batch=batch)
     print(
         f"bootstrap n=64: {batch} gates in {dt*1000:.1f} ms -> "

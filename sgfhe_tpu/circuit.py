@@ -404,3 +404,59 @@ def equality(nbits: int) -> Circuit:
         eq = nxt
     c.output(eq[0])
     return c
+
+
+def subtractor(nbits: int) -> Circuit:
+    """nbits-bit ripple-borrow subtractor a - b (LSB first): outputs
+    diff_0..diff_{nbits-1}, no_borrow (1 iff a >= b). Two's complement:
+    a + NOT(b) + 1, with NOT free (linear) and the +1 as carry-in."""
+    c = Circuit()
+    a = [c.input() for _ in range(nbits)]
+    b = [c.input() for _ in range(nbits)]
+    carry = c.const(1)
+    for i in range(nbits):
+        nb = c.not_(b[i])
+        axb = c.xor_(a[i], nb)
+        aab = c.and_(a[i], nb)
+        c.output(c.xor_(axb, carry))
+        carry = c.or_(aab, c.and_(axb, carry))
+    c.output(carry)
+    return c
+
+
+def comparator(nbits: int) -> Circuit:
+    """a vs b over nbits-bit inputs: outputs (a >= b, a == b). The >= flag
+    is the subtractor's no-borrow carry with the diff outputs pruned; == is
+    an XNOR AND-tree sharing the per-bit bootstraps."""
+    c = Circuit()
+    a = [c.input() for _ in range(nbits)]
+    b = [c.input() for _ in range(nbits)]
+    carry = c.const(1)
+    eq = []
+    for i in range(nbits):
+        nb = c.not_(b[i])
+        axb = c.xor_(a[i], nb)          # == XNOR(a_i, b_i): reused for ==
+        aab = c.and_(a[i], nb)
+        carry = c.or_(aab, c.and_(axb, carry))
+        eq.append(axb)
+    while len(eq) > 1:
+        nxt = [c.and_(eq[i], eq[i + 1]) for i in range(0, len(eq) - 1, 2)]
+        if len(eq) % 2:
+            nxt.append(eq[-1])
+        eq = nxt
+    c.output(carry)
+    c.output(eq[0])
+    return c
+
+
+def mux(nbits: int) -> Circuit:
+    """2-to-1 multiplexer: inputs sel, a_0.., b_0..; outputs a if sel else b,
+    per bit: (sel AND a) OR (NOT sel AND b)."""
+    c = Circuit()
+    sel = c.input()
+    a = [c.input() for _ in range(nbits)]
+    b = [c.input() for _ in range(nbits)]
+    nsel = c.not_(sel)
+    for i in range(nbits):
+        c.output(c.or_(c.and_(sel, a[i]), c.and_(nsel, b[i])))
+    return c

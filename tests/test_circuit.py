@@ -187,3 +187,62 @@ def test_random_circuits_vs_oracle(setup64):
     outs_r = C.evaluate(c, params, ctx, bkey, ebs, flat_key=jax.random.key(9))
     got_r = [int(np.asarray(F.decrypt_bit(sk, o))) for o in outs_r]
     assert got_r == expect
+
+
+@pytest.mark.parametrize("nbits", [1, 3])
+def test_plain_oracle_subtractor_comparator_mux(nbits):
+    sub = C.subtractor(nbits)
+    cmp_ = C.comparator(nbits)
+    m = C.mux(nbits)
+    for a in range(1 << nbits):
+        for b in range(1 << nbits):
+            bits = [(a >> i) & 1 for i in range(nbits)] + [
+                (b >> i) & 1 for i in range(nbits)
+            ]
+            out = C.evaluate_plain(sub, bits)
+            diff = sum(v << i for i, v in enumerate(out[:nbits]))
+            assert diff == (a - b) % (1 << nbits)
+            assert out[nbits] == int(a >= b)
+            ge, eq = C.evaluate_plain(cmp_, bits)
+            assert ge == int(a >= b) and eq == int(a == b)
+            for sel in (0, 1):
+                got = C.evaluate_plain(m, [sel] + bits)
+                want = a if sel else b
+                assert sum(v << i for i, v in enumerate(got)) == want
+
+
+def test_comparator_shares_subtractor_cost():
+    """The >= flag costs the same bootstraps as the subtractor's carry chain
+    (diff XORs pruned as dead gates); == rides the same XNORs + an AND tree."""
+    nbits = 8
+    assert C.comparator(nbits).num_bootstraps <= (
+        C.subtractor(nbits).num_bootstraps + (nbits - 1)
+    )
+
+
+def test_subtractor_comparator_encrypted(setup64):
+    params, ctx, sk, bkey = setup64
+    nbits = 4
+    sub = C.subtractor(nbits)
+    cmp_ = C.comparator(nbits)
+    rng = np.random.default_rng(9)
+    pairs = [(int(rng.integers(0, 16)), int(rng.integers(0, 16)))
+             for _ in range(4)]
+    pairs[0] = (7, 7)  # force a tie
+    rows = np.array([
+        [(a >> i) & 1 for i in range(nbits)] + [(b >> i) & 1
+                                                for i in range(nbits)]
+        for a, b in pairs
+    ])
+    ebs = _encrypt_bits(params, sk, jax.random.key(12), rows)
+    outs = C.evaluate(sub, params, ctx, bkey, ebs)
+    dec = [np.asarray(F.decrypt_bit(sk, o)).astype(int) for o in outs]
+    for j, (a, b) in enumerate(pairs):
+        diff = sum(dec[i][j] << i for i in range(nbits))
+        assert diff == (a - b) % (1 << nbits), (a, b)
+        assert dec[nbits][j] == int(a >= b)
+    outs = C.evaluate(cmp_, params, ctx, bkey, ebs)
+    ge = np.asarray(F.decrypt_bit(sk, outs[0])).astype(int)
+    eq = np.asarray(F.decrypt_bit(sk, outs[1])).astype(int)
+    for j, (a, b) in enumerate(pairs):
+        assert ge[j] == int(a >= b) and eq[j] == int(a == b)
