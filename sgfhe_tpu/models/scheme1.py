@@ -214,39 +214,73 @@ class BootstrapKey:
     """NTT-domain GSW encryptions of the key bits (reference
     src/fhe.jl:176-203), stored with Shoup companions for the hot path.
 
-    hat / hat_shoup: (n, 2l, 2, L, m) uint32.
+    hat / hat_shoup: (n, 2l, 2, L, m) uint32. The a-column (hat[:, :, 0])
+    is the NTT of uniform residues generated from `seed` — a seeded key
+    (serialize.bootstrap_key_to_wire_seeded) ships only the seed plus the
+    b-column and regenerates the rest on load (~4x smaller on the wire).
     """
 
     params: Params
     hat: jax.Array
     hat_shoup: jax.Array
+    seed: np.ndarray | None = None  # raw PRNG key data for the a-column
 
     @classmethod
     def create(
         cls, ctx: SchemeContext, sk: PrivateKey, key: jax.Array
     ) -> "BootstrapKey":
         params = sk.params
-        L = params.num_limbs
-        hat = _bkey_kernel(params, ctx, sk.key, key)
-        hat_np = np.asarray(hat)
-        mods = np.array(params.moduli, dtype=np.uint64).reshape(1, 1, 1, L, 1)
-        shoup = ((hat_np.astype(np.uint64) << np.uint64(32)) // mods).astype(
-            np.uint32
+        k_a, k_e = jax.random.split(key)
+        hat = _bkey_kernel(params, ctx, sk.key, k_a, k_e)
+        shoup = _shoup_companion(np.asarray(hat), params.moduli)
+        return cls(
+            params, hat, jnp.asarray(shoup),
+            seed=np.asarray(jax.random.key_data(k_a)),
         )
-        return cls(params, hat, jnp.asarray(shoup))
+
+    @classmethod
+    def from_seeded(
+        cls,
+        params: Params,
+        ctx: SchemeContext,
+        seed: np.ndarray,
+        b_hat: jax.Array,
+    ) -> "BootstrapKey":
+        """Rebuild the full key from (seed, b-column): regenerate the
+        uniform a-polynomials from the seed, NTT them, recompute Shoup."""
+        n, m, L = params.n, params.m, params.num_limbs
+        rows = 2 * params.num_digits
+        k_a = jax.random.wrap_key_data(jnp.asarray(seed, dtype=jnp.uint32))
+        a = _uniform_residues(k_a, (n, rows, L, m), params.moduli)
+        a_hat = ntt_mod.ntt_fwd(ctx.plan_Q, a)
+        hat = jnp.stack([a_hat, jnp.asarray(b_hat)], axis=2)
+        shoup = _shoup_companion(np.asarray(hat), params.moduli)
+        return cls(params, hat, jnp.asarray(shoup), seed=np.asarray(seed))
+
+
+def _shoup_companion(hat_np: np.ndarray, moduli) -> np.ndarray:
+    mods = np.array(moduli, dtype=np.uint64).reshape(1, 1, 1, len(moduli), 1)
+    return ((hat_np.astype(np.uint64) << np.uint64(32)) // mods).astype(
+        np.uint32
+    )
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _bkey_kernel(params: Params, ctx: SchemeContext, s_bits, key):
+def _bkey_kernel(params: Params, ctx: SchemeContext, s_bits, k_a, k_e):
     """Device computation of the bootstrap key (reference src/fhe.jl:181-201),
-    one fused jit program."""
+    one fused jit program.
+
+    The gadget terms live entirely on the b-column: row j < l is
+    (a, a·s + e − s_i·w_j·s(x)) — algebraically the same GSW row as the
+    reference's (a' + s_i·w_j, a'·s + e) layout (both satisfy
+    b − a·s = e − s_i·w_j·s), but with a UNIFORM a-column that a seeded
+    wire format can regenerate from the PRNG seed alone."""
     n, m, L = params.n, params.m, params.num_limbs
     l = params.num_digits
     rows = 2 * l
     plan = ctx.plan_Q
     p_vec = plan.p  # (L, 1)
 
-    k_a, k_e = jax.random.split(key)
     # uniform over [0, Q): independent uniform residues per limb
     a = _uniform_residues(k_a, (n, rows, L, m), params.moduli)
     # noise |e| <= n, identical integer across limbs (same residue of the
@@ -264,17 +298,18 @@ def _bkey_kernel(params: Params, ctx: SchemeContext, s_bits, key):
     b = ntt_mod.ntt_inv(plan, b_hat)
     b = mm.addmod(b, e_mod, p_vec)
 
-    C = jnp.stack([a, b], axis=2)  # (n, rows, 2, L, m) coefficient domain
-
-    # + s_i * G: row i gets w_i on column 0, row l+i gets w_i on column 1
-    # (constant-polynomial entries -> coefficient 0 only)
+    # gadget terms, b-column only:
+    #   rows :l  — subtract s_i·w_j·s(x)  (s, w, s_i all < p: plain product)
+    #   rows l:  — add s_i·w_j at coefficient 0
     wv = ctx.rns.w_val[..., 0]  # (l, L)
-    delta = jnp.zeros((n, rows, 2, L, m), dtype=jnp.uint32)
     add0 = (s_bits[:, None, None] * wv[None]).astype(jnp.uint32)  # (n, l, L)
-    delta = delta.at[:, :l, 0, :, 0].set(add0)
-    delta = delta.at[:, l:, 1, :, 0].set(add0)
-    C = mm.addmod(C, delta, p_vec)
+    term = add0[:, :, :, None] * s_rns[None, None]  # (n, l, L, m), < 2^30
+    b = b.at[:, :l].set(mm.submod(b[:, :l], term, p_vec))
+    delta = jnp.zeros((n, l, L, m), dtype=jnp.uint32)
+    delta = delta.at[:, :, :, 0].set(add0)
+    b = b.at[:, l:].set(mm.addmod(b[:, l:], delta, p_vec))
 
+    C = jnp.stack([a, b], axis=2)  # (n, rows, 2, L, m) coefficient domain
     return ntt_mod.ntt_fwd(plan, C)
 
 

@@ -211,42 +211,56 @@ class BootstrapKey:
     params: Params
     hat: jax.Array        # (n, 2l, 2, L, m)
     hat_shoup: jax.Array
+    seed: "np.ndarray | None" = None  # PRNG key data for the a-column
 
     @classmethod
     def create(cls, ctx: Scheme2Context, sk: PrivateKey, key) -> "BootstrapKey":
+        from .scheme1 import _shoup_companion
+
         params = sk.params
-        L = params.num_limbs
-        hat = _bkey2_kernel(params, ctx, sk.key, key)
-        hat_np = np.asarray(hat)
-        mods = np.array(params.moduli, dtype=np.uint64).reshape(1, 1, 1, L, 1)
-        shoup = ((hat_np.astype(np.uint64) << np.uint64(32)) // mods).astype(np.uint32)
-        return cls(params, hat, jnp.asarray(shoup))
+        k_a, k_e = jax.random.split(key)
+        hat = _bkey2_kernel(params, ctx, sk.key, k_a, k_e)
+        shoup = _shoup_companion(np.asarray(hat), params.moduli)
+        return cls(
+            params, hat, jnp.asarray(shoup),
+            seed=np.asarray(jax.random.key_data(k_a)),
+        )
+
+    @classmethod
+    def from_seeded(
+        cls, params: Params, ctx: Scheme2Context, seed, b_hat
+    ) -> "BootstrapKey":
+        """Rebuild from (seed, b-column) — see scheme-1 BootstrapKey."""
+        from .scheme1 import _shoup_companion, _uniform_residues
+
+        n, m, L = params.n, params.m, params.num_limbs
+        rows = 2 * params.num_digits
+        k_a = jax.random.wrap_key_data(jnp.asarray(seed, dtype=jnp.uint32))
+        a = _uniform_residues(k_a, (n, rows, L, m), params.moduli)
+        a_hat = ntt_mod.ntt_fwd(ctx.plan_Q, a)
+        hat = jnp.stack([a_hat, jnp.asarray(b_hat)], axis=2)
+        shoup = _shoup_companion(np.asarray(hat), params.moduli)
+        return cls(params, hat, jnp.asarray(shoup), seed=np.asarray(seed))
 
 
 from functools import partial as _partial  # noqa: E402
 
 
 @_partial(jax.jit, static_argnums=(0,))
-def _bkey2_kernel(params: Params, ctx: Scheme2Context, s_bits, key):
+def _bkey2_kernel(params: Params, ctx: Scheme2Context, s_bits, k_a, k_e):
     """Device computation of the scheme-2 bootstrap key as ONE jitted
-    program (eager per-op dispatch costs minutes over the device tunnel)."""
+    program (eager per-op dispatch costs minutes over the device tunnel).
+    Gadget terms ride the b-column only (uniform, seed-regenerable
+    a-column) — see scheme-1 `_bkey_kernel` for the algebra."""
+    from .scheme1 import _uniform_residues
+
     n, m, L = params.n, params.m, params.num_limbs
     l = params.num_digits
     rows = 2 * l
     plan = ctx.plan_Q
     p_vec = plan.p
 
-    k_a, k_e = jax.random.split(key)
-    keys_a = jax.random.split(k_a, L)
-    a = jnp.stack(
-        [
-            jax.random.randint(
-                keys_a[i], (n, rows, m), 0, p, dtype=jnp.int32
-            ).astype(jnp.uint32)
-            for i, p in enumerate(params.moduli)
-        ],
-        axis=-2,
-    )
+    a = _uniform_residues(k_a, (n, rows, L, m), params.moduli)
     e = jax.random.randint(
         k_e, (n, rows, 1, m), -params.tau, params.tau + 1, dtype=jnp.int32
     )
@@ -259,15 +273,16 @@ def _bkey2_kernel(params: Params, ctx: Scheme2Context, s_bits, key):
         plan, ntt_mod.pointwise_mul(plan, ntt_mod.ntt_fwd(plan, a), s_hat)
     )
     b = mm.addmod(b, e_mod, p_vec)
-    C = jnp.stack([a, b], axis=2)
 
     wv = ctx.rns_Q.w_val[..., 0]  # (l, L)
     add0 = (s_bits[:, None, None] * wv[None]).astype(jnp.uint32)
-    delta = jnp.zeros((n, rows, 2, L, m), dtype=jnp.uint32)
-    delta = delta.at[:, :l, 0, :, 0].set(add0)
-    delta = delta.at[:, l:, 1, :, 0].set(add0)
-    C = mm.addmod(C, delta, p_vec)
+    term = add0[:, :, :, None] * s_rns[None, None]  # (n, l, L, m), < 2^30
+    b = b.at[:, :l].set(mm.submod(b[:, :l], term, p_vec))
+    delta = jnp.zeros((n, l, L, m), dtype=jnp.uint32)
+    delta = delta.at[:, :, :, 0].set(add0)
+    b = b.at[:, l:].set(mm.addmod(b[:, l:], delta, p_vec))
 
+    C = jnp.stack([a, b], axis=2)
     return ntt_mod.ntt_fwd(plan, C)
 
 

@@ -86,6 +86,7 @@ _T_PRIVATE_CT = 7
 _T_PUBLIC_CT = 8
 _T_S2_CIPHERTEXT = 9   # scheme-2 (a, b) digit-polynomial pair mod r
 _T_S2_LWE = 10         # scheme-2 digit LWE batch (split/bootstrap outputs)
+_T_BKEY_SEEDED = 11    # bootstrap key as (PRNG seed, b-column) — both schemes
 
 
 def _frame(type_code: int, meta: dict, payload: bytes) -> bytes:
@@ -226,9 +227,56 @@ def s2_lwe_to_wire(params: "s2.Params", lwe) -> bytes:
     )
 
 
-def from_wire(raw: bytes):
-    """Parse a wire frame back into its object (CRC verified)."""
+def bootstrap_key_to_wire_seeded(bkey) -> bytes:
+    """Seeded bootstrap-key wire format (scheme 1 or 2): the PRNG seed plus
+    the b-column residues only — half the bytes of `to_wire(bkey)` (which
+    itself ships no Shoup companions). The uniform a-column regenerates
+    from the seed on load (the gadget terms live entirely on the b-column,
+    models/scheme1.py `_bkey_kernel`), at the cost of one forward NTT and
+    the Shoup recompute. Standard seeded-RLWE compression, beyond the
+    reference's encodings (src/fhe.jl:293-301)."""
+    if bkey.seed is None:
+        raise ValueError(
+            "bootstrap key carries no seed (loaded from a non-seeded "
+            "checkpoint?) — use to_wire instead"
+        )
+    p = bkey.params
+    scheme = 2 if isinstance(p, s2.Params) else 1
+    w = max(q.bit_length() for q in p.moduli)
+    seed = np.asarray(bkey.seed, dtype=np.uint32)
+    b_hat = np.asarray(bkey.hat[:, :, 1])
+    payload = seed.tobytes() + native.pack_uint(b_hat.reshape(-1), w)
+    meta = {"scheme": scheme, "n": p.n, "seedwords": int(seed.size)}
+    if scheme == 2:
+        meta["k"] = p.k
+    return _frame(_T_BKEY_SEEDED, meta, payload)
+
+
+def from_wire(raw: bytes, ctx=None):
+    """Parse a wire frame back into its object (CRC verified).
+
+    `ctx`: optional SchemeContext/Scheme2Context, consulted only by the
+    seeded bootstrap-key format (which must NTT the regenerated a-column;
+    without it a fresh context is built from the frame's params)."""
     type_code, meta, payload = _unframe(raw)
+    if type_code == _T_BKEY_SEEDED:
+        if meta.get("scheme", 1) == 2:
+            prm = s2.Params.create(meta["k"], n=meta["n"])
+            mod = s2
+            c = ctx if ctx is not None else s2.make_context(prm)
+        else:
+            prm = Params.create(meta["n"])
+            mod = s1
+            c = ctx if ctx is not None else s1.make_context(prm)
+        nseed = 4 * meta["seedwords"]
+        seed = np.frombuffer(payload[:nseed], dtype=np.uint32).copy()
+        w = max(q.bit_length() for q in prm.moduli)
+        n, l, L, m = prm.n, prm.num_digits, prm.num_limbs, prm.m
+        count = n * 2 * l * L * m
+        b_hat = native.unpack_uint(payload[nseed:], count, w).reshape(
+            n, 2 * l, L, m
+        )
+        return mod.BootstrapKey.from_seeded(prm, c, seed, jnp.asarray(b_hat))
     if type_code == _T_S2_CIPHERTEXT:
         p2 = s2.Params.create(meta["k"], n=meta["n"])
         w = p2.r.bit_length() - 1

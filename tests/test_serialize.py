@@ -207,3 +207,49 @@ def test_wire_encrypted_bit_nd_batch(setup):
         assert np.asarray(eb2.lwe.a).shape == shape + (params.n,)
         np.testing.assert_array_equal(np.asarray(eb2.lwe.a), np.asarray(a))
         np.testing.assert_array_equal(np.asarray(eb2.lwe.b), np.asarray(b))
+
+
+def test_wire_bootstrap_key_seeded(setup):
+    """Seeded bootstrap-key wire: seed + b-column only. The restored key
+    must be BIT-IDENTICAL (hat and Shoup) to the original, at about half
+    the non-seeded wire size."""
+    params, ctx, sk, pk, msg, k_enc = setup
+    bkey = F.BootstrapKey.create(ctx, sk, jax.random.key(5))
+    assert bkey.seed is not None
+
+    raw_full = serialize.to_wire(bkey)
+    raw_seed = serialize.bootstrap_key_to_wire_seeded(bkey)
+    assert len(raw_seed) < 0.55 * len(raw_full)
+
+    bk2 = serialize.from_wire(raw_seed, ctx=ctx)
+    np.testing.assert_array_equal(np.asarray(bk2.hat), np.asarray(bkey.hat))
+    np.testing.assert_array_equal(
+        np.asarray(bk2.hat_shoup), np.asarray(bkey.hat_shoup)
+    )
+    np.testing.assert_array_equal(bk2.seed, bkey.seed)
+
+    # without ctx a fresh context is built internally
+    bk3 = serialize.from_wire(raw_seed)
+    np.testing.assert_array_equal(np.asarray(bk3.hat), np.asarray(bkey.hat))
+
+    # a key restored from the full (non-seeded) wire has no seed
+    bk4 = serialize.from_wire(raw_full)
+    assert bk4.seed is None
+    with pytest.raises(ValueError, match="seed"):
+        serialize.bootstrap_key_to_wire_seeded(bk4)
+
+
+def test_wire_bootstrap_key_seeded_scheme2():
+    from sgfhe_tpu.models import scheme2 as s2
+
+    params = s2.Params.create(1, n=64)
+    ctx = s2.make_context(params)
+    sk = s2.PrivateKey.create(params, jax.random.key(1))
+    bkey = s2.BootstrapKey.create(ctx, sk, jax.random.key(2))
+    raw = serialize.bootstrap_key_to_wire_seeded(bkey)
+    bk2 = serialize.from_wire(raw, ctx=ctx)
+    assert bk2.params.k == params.k and bk2.params.n == params.n
+    np.testing.assert_array_equal(np.asarray(bk2.hat), np.asarray(bkey.hat))
+    np.testing.assert_array_equal(
+        np.asarray(bk2.hat_shoup), np.asarray(bkey.hat_shoup)
+    )
