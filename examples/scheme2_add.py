@@ -124,6 +124,38 @@ def main():
         flush=True,
     )
 
+    # wide subtraction + comparison (models/wideint.py): W-digit two's
+    # complement — W rotations yield diff AND the [x >= y] flag
+    from sgfhe_tpu.models import wideint as wi
+
+    W = 3
+    B = min(batch, params.n)
+    xw = rng.integers(0, 2 ** (k * W), B)
+    yw = rng.integers(0, 2 ** (k * W), B)
+    yw[0] = xw[0]  # force one tie
+    xs = wi.encrypt_wide(sk, jax.random.key(5), xw, W)
+    ys = wi.encrypt_wide(sk, jax.random.key(6), yw, W)
+    t0 = time.time()
+    diff, ge = wi.sub_wide(params, ctx, bkey, xs, ys)
+    jax.block_until_ready(ge.a)
+    print(f"sub compile+first batch: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    for _ in range(iters):
+        diff, ge = wi.sub_wide(params, ctx, bkey, xs, ys)
+    jax.block_until_ready(ge.a)
+    dt = (time.time() - t0) / iters
+    if not (
+        (wi.decrypt_wide(sk, diff) == (xw - yw) % 2 ** (k * W)).all()
+        and (np.asarray(bs2.decrypt_lwe(sk, ge)) == (xw >= yw)).all()
+    ):
+        print("FAIL: wrong difference / >= flag", file=sys.stderr)
+        sys.exit(1)
+    print(
+        f"scheme2 sub_wide k={k} W={W}: {B} subs in {dt*1e3:.1f} ms -> "
+        f"{B/dt:.1f} subs/s (diff + [x>=y] flag verified)",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
