@@ -240,6 +240,110 @@ def flag_and(
     return LWE(out.a[:, 0], out.b[:, 0])
 
 
+def _scale_flag(params: Params, flag: LWE) -> LWE:
+    """2^k * flag (linear). Scales the flag's phase noise by 2^k, so the
+    flag must be a REFRESHED ciphertext (a bootstrap output such as
+    `ge_wide`'s carry, or a trivial constant): the mux phase noise is
+    2^k*w_flag + w_digit, which stays inside the Dr/2 decision boundary for
+    post-bootstrap noise levels (measured max 23 vs 256 at k=1, n=1024 —
+    RESULTS.md) but not for arbitrarily noisy flags."""
+    K = jnp.uint32(2**params.k)
+    mask = jnp.uint32(params.mask_r)
+    return LWE((flag.a * K) & mask, (flag.b * K) & mask)
+
+
+def _mux_pass(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    flag: LWE,
+    pairs: list[tuple[list[LWE], list[LWE]]],
+    flat_key=None,
+) -> list[list[LWE]]:
+    """Shared mux engine: for each (xs, ys) pair and each digit j, compute
+    flag ? xs[j] : ys[j]. ALL selections ride ONE batched rotation pass —
+    2 lanes per (pair, digit): lane A has phase 2^k*f + x_j with table
+    T_keep(z) = z - 2^k for z >= 2^k else 0 (-> f*x_j), lane B has phase
+    2^k*f + y_j with T_drop(z) = z for z < 2^k else 0 (-> (1-f)*y_j); the
+    result digit is the linear sum of the two refreshed outputs (noise 2x a
+    fresh bootstrap output — still chainable into add/mul/compare)."""
+    K = 2**params.k
+    zmax = 2 * K
+    sf = _scale_flag(params, flag)
+    t_keep = [z - K if z >= K else 0 for z in range(zmax)]
+    t_drop = [0 if z >= K else z for z in range(zmax)]
+    th = bs2.tables_hat(params, ctx, [t_keep, t_drop])
+
+    lanes_a, lanes_b, t_idx = [], [], []
+    for xs, ys in pairs:
+        assert len(xs) == len(ys)
+        for xj, yj in zip(xs, ys):
+            ua = bs2._lwe_sum(params, sf, xj)
+            ub = bs2._lwe_sum(params, sf, yj)
+            lanes_a.extend([ua.a, ub.a])
+            lanes_b.extend([ua.b, ub.b])
+            t_idx.extend([0, 1])
+    u = LWE(jnp.concatenate(lanes_a), jnp.concatenate(lanes_b))
+    B = pairs[0][0][0].a.shape[0]
+    t0 = jnp.repeat(th[jnp.asarray(t_idx)], B, axis=0)
+    fused = bs2._use_fused(params, flat_key)
+    out = bs2._bootstrap_paired_jit(
+        params, ctx, bkey.hat, bkey.hat_shoup, u, t0,
+        flat_key is not None, fused, flat_key,
+    )
+    results, lane = [], 0
+    for xs, ys in pairs:
+        sel = []
+        for _ in xs:
+            fa = LWE(out.a[lane * B:(lane + 1) * B],
+                     out.b[lane * B:(lane + 1) * B])
+            fb = LWE(out.a[(lane + 1) * B:(lane + 2) * B],
+                     out.b[(lane + 1) * B:(lane + 2) * B])
+            sel.append(bs2._lwe_sum(params, fa, fb))
+            lane += 2
+        results.append(sel)
+    return results
+
+
+def select_wide(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    flag: LWE,
+    xs: list[LWE],
+    ys: list[LWE],
+    flat_key=None,
+) -> list[LWE]:
+    """Encrypted branchless select: flag ? x : y digit-wise, where `flag` is
+    a refreshed 0/1 flag ciphertext (e.g. `ge_wide`/`eq_wide` output). ONE
+    rotation pass with 2W lanes; every output digit is (the sum of two)
+    refreshed ciphertexts. The data path never learns which branch was
+    taken — the FHE analog of a cmov."""
+    return _mux_pass(params, ctx, bkey, flag, [(xs, ys)], flat_key)[0]
+
+
+def min_max_wide(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    xs: list[LWE],
+    ys: list[LWE],
+    flat_key=None,
+) -> tuple[list[LWE], list[LWE]]:
+    """Encrypted (min, max) of two W-digit numbers: one `ge_wide` comparison
+    (W rotations) + ONE shared mux pass with 4W lanes (both selections reuse
+    the same encrypted flag). Total W+1 rotation passes."""
+    if flat_key is not None:
+        k1, k2 = jax.random.split(flat_key)
+    else:
+        k1 = k2 = None
+    ge = ge_wide(params, ctx, bkey, xs, ys, k1)
+    mins, maxs = _mux_pass(
+        params, ctx, bkey, ge, [(ys, xs), (xs, ys)], k2
+    )
+    return mins, maxs
+
+
 def eq_wide(
     params: Params,
     ctx: Scheme2Context,

@@ -109,6 +109,55 @@ def test_sub_wide_and_compare(toy_k1):
     )
 
 
+def test_select_and_min_max(toy_k1):
+    """Encrypted cmov: select_wide against a ge_wide flag, min_max_wide,
+    and chainability (feed max into a further add_wide)."""
+    params, ctx, sk, bkey = toy_k1
+    k, W, B = params.k, 3, 8
+    rng = np.random.default_rng(41)
+    xs_v = rng.integers(0, 2 ** (k * W), B)
+    ys_v = rng.integers(0, 2 ** (k * W), B)
+    ys_v[0] = xs_v[0]  # tie lane: ge=1 -> select x
+    xs = wi.encrypt_wide(sk, jax.random.key(42), xs_v, W)
+    ys = wi.encrypt_wide(sk, jax.random.key(43), ys_v, W)
+
+    ge = wi.ge_wide(params, ctx, bkey, xs, ys)
+    sel = wi.select_wide(params, ctx, bkey, ge, xs, ys)
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, sel), np.where(xs_v >= ys_v, xs_v, ys_v)
+    )
+
+    mins, maxs = wi.min_max_wide(params, ctx, bkey, xs, ys)
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, mins), np.minimum(xs_v, ys_v)
+    )
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, maxs), np.maximum(xs_v, ys_v)
+    )
+
+    total = wi.add_wide(params, ctx, bkey, mins, maxs)
+    np.testing.assert_array_equal(wi.decrypt_wide(sk, total), xs_v + ys_v)
+
+
+def test_select_randomized(toy_k1):
+    params, ctx, sk, bkey = toy_k1
+    k, W, B = params.k, 2, 6
+    rng = np.random.default_rng(51)
+    xs_v = rng.integers(0, 2 ** (k * W), B)
+    ys_v = rng.integers(0, 2 ** (k * W), B)
+    xs = wi.encrypt_wide(sk, jax.random.key(52), xs_v, W)
+    ys = wi.encrypt_wide(sk, jax.random.key(53), ys_v, W)
+    mins, maxs = wi.min_max_wide(
+        params, ctx, bkey, xs, ys, flat_key=jax.random.key(54)
+    )
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, mins), np.minimum(xs_v, ys_v)
+    )
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, maxs), np.maximum(xs_v, ys_v)
+    )
+
+
 def test_sub_wide_randomized(toy_k1):
     params, ctx, sk, bkey = toy_k1
     k, W, B = params.k, 2, 6
