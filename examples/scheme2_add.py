@@ -156,6 +156,28 @@ def main():
         flush=True,
     )
 
+    # encrypted min/max (one ge_wide comparison + one shared 4W-lane mux)
+    t0 = time.time()
+    mins, maxs = wi.min_max_wide(params, ctx, bkey, xs, ys)
+    jax.block_until_ready(maxs[0].a)
+    print(f"min_max compile+first batch: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    for _ in range(iters):
+        mins, maxs = wi.min_max_wide(params, ctx, bkey, xs, ys)
+    jax.block_until_ready(maxs[0].a)
+    dt = (time.time() - t0) / iters
+    if not (
+        (wi.decrypt_wide(sk, mins) == np.minimum(xw, yw)).all()
+        and (wi.decrypt_wide(sk, maxs) == np.maximum(xw, yw)).all()
+    ):
+        print("FAIL: wrong min/max", file=sys.stderr)
+        sys.exit(1)
+    print(
+        f"scheme2 min_max_wide k={k} W={W}: {B} pairs in {dt*1e3:.1f} ms -> "
+        f"{B/dt:.1f} min+max/s (both extrema verified)",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -344,6 +344,51 @@ def min_max_wide(
     return mins, maxs
 
 
+def _oddeven_pairs(N: int) -> list[tuple[int, int]]:
+    """Comparator pairs of Batcher's odd-even mergesort network for N a
+    power of two (N=4 -> 5 comparators, depth 3)."""
+    assert N >= 2 and N & (N - 1) == 0
+    pairs = []
+    p = 1
+    while p < N:
+        k = p
+        while k >= 1:
+            for j in range(k % p, N - k, 2 * k):
+                for i in range(min(k, N - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
+def sort_wide(
+    params: Params,
+    ctx: Scheme2Context,
+    bkey: BootstrapKey,
+    items: list[list[LWE]],
+    flat_key=None,
+) -> list[list[LWE]]:
+    """Sort N encrypted W-digit numbers ascending, obliviously: a Batcher
+    odd-even merge network of `min_max_wide` compare-exchanges (O(N log²N)
+    comparators, each W+1 rotation passes batched over B). The execution
+    trace is data-independent — neither the values nor their order ever
+    leaves the ciphertexts. Every level's outputs are refreshed mux sums,
+    so the network chains to any N."""
+    N = len(items)
+    pairs = _oddeven_pairs(N)
+    if flat_key is not None:
+        keys = list(jax.random.split(flat_key, len(pairs)))
+    else:
+        keys = [None] * len(pairs)
+    items = list(items)
+    for (i, j), fk in zip(pairs, keys):
+        items[i], items[j] = min_max_wide(
+            params, ctx, bkey, items[i], items[j], fk
+        )
+    return items
+
+
 def eq_wide(
     params: Params,
     ctx: Scheme2Context,

@@ -158,6 +158,43 @@ def test_select_randomized(toy_k1):
     )
 
 
+def test_oddeven_network_plain():
+    """The comparator network sorts every permutation (plaintext check)."""
+    import itertools
+
+    for N in (2, 4, 8):
+        pairs = wi._oddeven_pairs(N)
+        base = list(range(N)) if N <= 4 else None
+        perms = (
+            itertools.permutations(base)
+            if base is not None
+            else [np.random.default_rng(s).permutation(N) for s in range(20)]
+        )
+        for perm in perms:
+            v = list(perm)
+            for i, j in pairs:
+                if v[i] > v[j]:
+                    v[i], v[j] = v[j], v[i]
+            assert v == sorted(v), (N, perm)
+
+
+def test_sort_wide(toy_k1):
+    """Oblivious sort of 4 encrypted 2-digit numbers via the Batcher
+    network of min_max_wide compare-exchanges, batched over B lanes."""
+    params, ctx, sk, bkey = toy_k1
+    k, W, B, N = params.k, 2, 4, 4
+    rng = np.random.default_rng(61)
+    vals = rng.integers(0, 2 ** (k * W), (N, B))
+    vals[:, 0] = [3, 3, 0, 3]  # duplicate-heavy lane
+    items = [
+        wi.encrypt_wide(sk, jax.random.key(100 + i), vals[i], W)
+        for i in range(N)
+    ]
+    out = wi.sort_wide(params, ctx, bkey, items)
+    got = np.stack([wi.decrypt_wide(sk, d) for d in out])
+    np.testing.assert_array_equal(got, np.sort(vals, axis=0))
+
+
 def test_sub_wide_randomized(toy_k1):
     params, ctx, sk, bkey = toy_k1
     k, W, B = params.k, 2, 6
