@@ -64,9 +64,19 @@ _VMEM_LIMIT = int(os.environ.get("SGFHE_VMEM_LIMIT", 64 * 1024 * 1024))
 @dataclasses.dataclass(frozen=True)
 class FusedTables:
     """Full-width per-stage twiddle tables for the 2-D tiled NTT, plus the
-    grouped (radix-4) monomial-ladder tables."""
+    grouped (radix-4) monomial-ladder tables.
 
-    fwd_full: jax.Array    # (S, L, m) twiddle at v-positions, 0 elsewhere
+    The FORWARD tables are in the merged negacyclic (Longa–Naehrig) form:
+    stage s factors each block modulus z^blen − ψ^F into z^half − ψ^{F/2}
+    and z^half − ψ^{F/2+m}, so the butterfly is lo = u + c·v, hi = u − c·v
+    with ONE block-constant twiddle c = ψ^{F/2} — no separate ψ^i pre-twist
+    pass, and the lazy bound grows additively (+2p per stage) instead of
+    doubling, which eliminates almost all in-loop Barrett resets. The hat
+    output is bit-identical to pre-twist + DIF (same exact evaluations at
+    ψ^{2·br(k)+1} in the same order). fwd_full[s, :, idx] holds the twiddle
+    of idx's block at EVERY position (only v-positions are consumed)."""
+
+    fwd_full: jax.Array    # (S, L, m) merged block-constant ψ twiddles
     fwd_full_s: jax.Array  # Shoup companions
     inv_full: jax.Array    # (S, L, m) twiddle at b-positions, 0 elsewhere
     inv_full_s: jax.Array
@@ -79,7 +89,10 @@ class FusedTables:
 
 
 def build_fused(plan: NttPlan) -> FusedTables:
-    """Spread the plan's per-stage compact twiddles into full-width tables."""
+    """Build the merged-forward twiddle tables (see FusedTables) and spread
+    the plan's compact inverse twiddles into full width."""
+    from ..utils import primes as pr
+
     m = plan.length
     L = plan.num_limbs
     S = m.bit_length() - 1
@@ -88,14 +101,26 @@ def build_fused(plan: NttPlan) -> FusedTables:
     inv = np.zeros((S, L, m), dtype=np.uint32)
     inv_s = np.zeros((S, L, m), dtype=np.uint32)
     idx = np.arange(m)
-    for s in range(S):
-        half = m >> (s + 1)
-        blen = m >> s
-        v_pos = (idx % blen) >= half
-        j = idx % blen - half
-        w, ws = (np.asarray(t) for t in plan.fwd_tw[s])  # (L, half)
-        fwd[s, :, v_pos] = w[:, j[v_pos]].T
-        fwd_s[s, :, v_pos] = ws[:, j[v_pos]].T
+    moduli = [int(x) for x in np.asarray(plan.p).reshape(-1)]
+    for li, p in enumerate(moduli):
+        # same deterministic 2m-th root as ntt.build_plan
+        psi = pr.root_of_unity(2 * m, p)
+        assert pow(psi, m, p) == p - 1
+        # block-modulus exponent recursion: z^m + 1 == z^m - ψ^m; a block
+        # z^blen - ψ^F splits into z^half - ψ^{F/2} (lo) and z^half - ψ^{F/2+m}
+        # (hi), butterfly twiddle c = ψ^{F/2}. Layout order == in-place order.
+        F = [m]
+        for s in range(S):
+            blen = m >> s
+            block = idx // blen
+            cvals = np.array(
+                [pow(psi, f // 2, p) for f in F], dtype=np.uint64
+            )
+            fwd[s, li] = cvals[block].astype(np.uint32)
+            fwd_s[s, li] = ((cvals[block] << np.uint64(32)) // p).astype(
+                np.uint32
+            )
+            F = [e for f in F for e in (f // 2, (f // 2 + m) % (2 * m))]
     for s in range(S):
         ln = 1 << s
         b_pos = ((idx >> s) & 1) == 1
@@ -170,21 +195,23 @@ def _chk(c: int, p_max: int) -> int:
     return c
 
 
-def _ntt_fwd_lazy(x, pre, pre_s, fwd, fwd_s, p, mu, p_max: int,
-                  m1: int, m2: int):
-    """Forward negacyclic NTT, input canonical, output congruent mod p with
-    per-lane bound c*p (returned multiplier c). x: (..., m1, T, m2)."""
+def _ntt_fwd_lazy(x, fwd, fwd_s, p, mu, p_max: int, m1: int, m2: int):
+    """Forward negacyclic NTT in the merged (Longa–Naehrig) form: the ψ
+    pre-twist is folded into block-constant stage twiddles, the butterfly is
+    lo = u + c·v / hi = u − c·v (multiply on the INPUT), so the lazy bound
+    grows additively (+2 per stage) instead of doubling. Input canonical,
+    output congruent mod p with per-lane bound c*p (returned multiplier c).
+    x: (..., m1, T, m2)."""
     m = m1 * m2
-    x = mm.shoup_mul_lazy(x, pre, pre_s, p)
-    c = 2
+    c = 1
     S = m.bit_length() - 1
     ax1 = x.ndim - 3  # the m1 axis
     for s in range(S):
         h = m >> (s + 1)
-        if 2 * c * p_max > _U32_LIMIT:
+        if (c + 2) * p_max > _U32_LIMIT:
             x = mm.mod_u32(x, p, mu)
             c = 1
-        _chk(2 * c, p_max)  # e = u + v and u + c*p - v are both < 2c*p
+        _chk(c + 2, p_max)  # u + y and u + 2p - y are both < (c+2)*p
         if h >= m2:
             # true butterfly along m1: reshape m1 -> (g, 2, h1). The reshape
             # adds one axis before (h1, T, m2), so per-limb constants need an
@@ -195,24 +222,25 @@ def _ntt_fwd_lazy(x, pre, pre_s, fwd, fwd_s, p, mu, p_max: int,
             xv = x.reshape(x.shape[:ax1] + (g, 2, h1) + x.shape[ax1 + 1:])
             u = xv[..., :, 0, :, :, :]
             v = xv[..., :, 1, :, :, :]
-            e = u + v                                      # < 2c p
-            arg = u + jnp.uint32(c) * p5 - v               # ≡ u - v, < 2c p
-            # twiddle for flat j = jj*m2 + i2 at v-block position jj: rows
-            # h1..2h1-1 of the full table (idx mod blen ∈ [h, 2h))
-            tw = fwd[s, ..., h1:2 * h1, :, :][:, None]
-            tws = fwd_s[s, ..., h1:2 * h1, :, :][:, None]
-            o = mm.shoup_mul_lazy(arg, tw, tws, p5)        # < 2p
+            # ONE twiddle per block: collapse the full-width table to the
+            # (L, g, 1, 1, 1) block constants (free: major-axis reshape+slice)
+            L_ = fwd.shape[1]
+            tw = fwd[s].reshape(L_, g, 2 * h1, 1, m2)[:, :, :1, :, :1]
+            tws = fwd_s[s].reshape(L_, g, 2 * h1, 1, m2)[:, :, :1, :, :1]
+            y = mm.shoup_mul_lazy(v, tw, tws, p5)          # < 2p
+            lo = u + y                                     # < (c+2) p
+            hi = u + jnp.uint32(2) * p5 - y                # < (c+2) p
             x = jnp.concatenate(
-                [e[..., :, None, :, :, :], o[..., :, None, :, :, :]],
+                [lo[..., :, None, :, :, :], hi[..., :, None, :, :, :]],
                 axis=ax1 + 1,
             ).reshape(x.shape)
         else:
             # lane stage: roll+select along the 128-lane minor axis
-            e = x + _roll_minor(x, -h)
-            arg = _roll_minor(x, h) + jnp.uint32(c) * p - x
-            o = mm.shoup_mul_lazy(arg, fwd[s], fwd_s[s], p)
-            x = jnp.where(_lane_mask(h, x.ndim, m2), e, o)
-        c = 2 * c
+            y = mm.shoup_mul_lazy(x, fwd[s], fwd_s[s], p)  # < 2p (v-pos used)
+            lo = x + _roll_minor(y, -h)                    # u + c·v
+            hi = _roll_minor(x, h) + jnp.uint32(2) * p - y  # u - c·v
+            x = jnp.where(_lane_mask(h, x.ndim, m2), lo, hi)
+        c = c + 2
     return x, c
 
 
@@ -331,29 +359,45 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
         e = jnp.stack(e_limbs)                     # (L, m1, T, m2)
         masks.append(e)
         rand_x = mm.submod(rand_x, jnp.stack(contrib_limbs), p)
-    digs = _flatten_k(rand_x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L)
+    digs = _flatten_k(rand_x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
+                      L, moduli)
     return [mm.addmod(d, mk, p) for d, mk in zip(digs, masks)]
 
 
-def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int):
+def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int,
+               moduli: tuple = ()):
     """In-kernel mixed-radix balanced flatten (mirrors ops/rns.flatten) in the
     limb-major layout: x (L, m1, T, m2) -> list of L digits, each (L, m1, T,
     m2). p, mu, offset: (L, 1, 1, 1); s_mod: (L, L, 1, 1, 1); inv tables
-    (L, L) scalars."""
+    (L, L) scalars.
+
+    When every pair of RNS primes is within 2x of each other (true for all
+    Params: the primes come from one narrow search window), a value that is
+    canonical mod p_j is < 2*p_i, so the cross-limb re-reductions need only a
+    single conditional subtract instead of a full Barrett reduction — the
+    `close` fast path below (exact either way, so bit-identical)."""
+    close = bool(moduli) and max(moduli) < 2 * min(moduli)
     y = mm.addmod(x, offset, p)
     digits = []
     for i in range(L):
         t = y[i]  # (m1, T, m2)
         pi = p[i]
         for j in range(i):
-            dj = mm.mod_u32(digits[j], pi, mu[i])
+            dj = digits[j]  # canonical mod p_j
+            if close:
+                dj = jnp.where(dj >= pi, dj - pi, dj)
+            else:
+                dj = mm.mod_u32(dj, pi, mu[i])
             t = mm.submod(t, dj, pi)
             t = mm.shoup_mul(t, inv_pj_val[i, j], inv_pj_shoup[i, j], pi)
         digits.append(t)
     out = []
     for i in range(L):
-        d = digits[i][None]  # (1, m1, T, m2)
-        e = mm.mod_u32(d, p, mu)  # (L, m1, T, m2)
+        d = digits[i][None]  # (1, m1, T, m2), canonical mod p_i
+        if close:
+            e = jnp.where(d >= p, d - p, d)  # (L, m1, T, m2)
+        else:
+            e = mm.mod_u32(d, p, mu)
         e = mm.submod(e, s_mod[i], p)
         out.append(e)
     return out
@@ -361,7 +405,7 @@ def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int):
 
 def _rotate_body(
     a_acc, b_acc, t_a, t_b, ck, cks, u_k,
-    pre, pre_s, post, post_s, fwd, fwd_s, inv, inv_s, mono, mono_s,
+    post, post_s, fwd, fwd_s, inv, inv_s, mono, mono_s,
     p, mu, ipj, ipj_s, smod, off,
     *, l: int, L: int, m1: int, m2: int, p_max: int,
     randomized: bool = False, moduli: tuple = (), rnd=None,
@@ -393,11 +437,10 @@ def _rotate_body(
         db = _flatten_rand_k(b_acc, p, mu, ipj, ipj_s, smod, off, L, moduli,
                              (seed, step_k, 1, gate_off))
     else:
-        da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L)
-        db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L)
+        da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L, moduli)
+        db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L, moduli)
     digits = jnp.stack(da + db, axis=0)  # (2l, L, m1, T, m2)
-    d_hat, _ = _ntt_fwd_lazy(digits, pre, pre_s, fwd, fwd_s, p, mu, p_max,
-                             m1, m2)
+    d_hat, _ = _ntt_fwd_lazy(digits, fwd, fwd_s, p, mu, p_max, m1, m2)
 
     outs = []
     t_outs = []
@@ -488,7 +531,7 @@ def _rotate_body(
 def _rotate_kernel(
     # inputs (order matters — must match pallas_call operands)
     ua_ref, a0_ref, b0_ref, bk_ref, bks_ref,
-    pre_ref, pre_s_ref, post_ref, post_s_ref,
+    post_ref, post_s_ref,
     fwd_ref, fwd_s_ref, inv_ref, inv_s_ref,
     mono_ref, mono_s_ref,
     p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
@@ -505,7 +548,7 @@ def _rotate_kernel(
     p = p_ref[:]          # (L, 1, 1, 1)
     mu = mu_ref[:]
     consts = dict(
-        pre=pre_ref[:], pre_s=pre_s_ref[:], post=post_ref[:],
+        post=post_ref[:],
         post_s=post_s_ref[:], fwd=fwd_ref[:], fwd_s=fwd_s_ref[:],
         inv=inv_ref[:], inv_s=inv_s_ref[:], mono=mono_ref[:],
         mono_s=mono_s_ref[:], p=p, mu=mu, ipj=ipj_ref[:], ipj_s=ipj_s_ref[:],
@@ -514,8 +557,7 @@ def _rotate_kernel(
 
     def hat_of(x):  # canonical hat of a coefficient-domain accumulator
         h, _ = _ntt_fwd_lazy(
-            x, consts["pre"], consts["pre_s"], consts["fwd"],
-            consts["fwd_s"], p, mu, p_max, m1, m2,
+            x, consts["fwd"], consts["fwd_s"], p, mu, p_max, m1, m2,
         )
         return mm.mod_u32(h, p, mu)
 
@@ -543,7 +585,7 @@ def _rotate_kernel(
 def _rotate_step_kernel(
     # inputs
     ua_ref, a0_ref, b0_ref, bk_ref, bks_ref,
-    pre_ref, pre_s_ref, post_ref, post_s_ref,
+    post_ref, post_s_ref,
     fwd_ref, fwd_s_ref, inv_ref, inv_s_ref,
     mono_ref, mono_s_ref,
     p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
@@ -578,7 +620,7 @@ def _rotate_step_kernel(
     a_acc, b_acc, _, _ = _rotate_body(
         a_s[:], b_s[:], None, None,
         bk_ref[0], bks_ref[0], ua_ref[0],
-        pre_ref[:], pre_s_ref[:], post_ref[:], post_s_ref[:],
+        post_ref[:], post_s_ref[:],
         fwd_ref[:], fwd_s_ref[:], inv_ref[:], inv_s_ref[:],
         mono_ref[:], mono_s_ref[:],
         p, mu, ipj_ref[:], ipj_s_ref[:], smod_ref[:], off_ref[:],
@@ -649,7 +691,6 @@ def _common_operands(params, ctx):
         return t.reshape(t.shape[0], L, m1, 1, m2)
 
     return (
-        tw2(plan.pre_tw), tw2(plan.pre_tw_s),
         tw2(plan.post_tw), tw2(plan.post_tw_s),
         tws2(ft.fwd_full), tws2(ft.fwd_full_s),
         tws2(ft.inv_full), tws2(ft.inv_full_s),
@@ -726,7 +767,7 @@ def blind_rotate_fused(
         acc_spec(),     # b0
         full(),         # bkey (resident)
         full(),
-    ] + [full()] * 16 + [
+    ] + [full()] * 14 + [
         pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM)
     ]
     out_specs = [acc_spec(), acc_spec()]
@@ -807,7 +848,7 @@ def blind_rotate_streamed(
             (1, 2 * l, 2, L, m1, m2), lambda t, k: (k, 0, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-    ] + [full()] * 18 + [
+    ] + [full()] * 16 + [
         pl.BlockSpec((1, 2), lambda t, k: (0, 0), memory_space=pltpu.SMEM)
     ]
     out_specs = [acc_spec(), acc_spec()]

@@ -57,6 +57,12 @@ class RnsContext:
     s_digit: jax.Array       # (L, 1) uint32: s_i (plain value, < p_i)
     s_mod: jax.Array         # (L, L, 1): s_i mod p_k
     offset: jax.Array        # (L, 1): sum_i w_i * s_i mod p_k (per limb k)
+    # static: True when max(p) < 2*min(p) (always, for Params-derived prime
+    # sets — one narrow search window), letting cross-limb re-reductions of
+    # canonical values use a single conditional subtract instead of Barrett.
+    close_primes: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 def build_context(moduli: tuple[int, ...]) -> "RnsContextHost":
@@ -128,6 +134,7 @@ class RnsContextHost:
             [self.offset_int % q for q in mods], dtype=np.uint32
         ).reshape(L, 1)
         return RnsContext(
+            close_primes=max(mods) < 2 * min(mods),
             p=jnp.asarray(p),
             mu=jnp.asarray(mu),
             inv_pj_val=jnp.asarray(inv_pj_val),
@@ -176,15 +183,21 @@ def flatten(ctx: RnsContext, x: jax.Array) -> jax.Array:
         t = y[..., i, :]
         pi = ctx.p[i]  # (1,) broadcast
         for j in range(i):
-            dj_mod_pi = mm.mod_u32(digits[j], pi, ctx.mu[i])
+            if ctx.close_primes:  # canonical mod p_j < 2*p_i: one cond-sub
+                dj_mod_pi = jnp.where(digits[j] >= pi, digits[j] - pi, digits[j])
+            else:
+                dj_mod_pi = mm.mod_u32(digits[j], pi, ctx.mu[i])
             t = mm.submod(t, dj_mod_pi, pi)
             t = mm.shoup_mul(t, ctx.inv_pj_val[i, j], ctx.inv_pj_shoup[i, j], pi)
         digits.append(t)
     # embed each digit into all limbs and subtract the balancing offset s_i
     out = []
     for i in range(L):
-        d = digits[i][..., None, :]  # (..., 1, m)
-        e = mm.mod_u32(d, ctx.p, ctx.mu)  # (..., L, m)
+        d = digits[i][..., None, :]  # (..., 1, m), canonical mod p_i
+        if ctx.close_primes:
+            e = jnp.where(d >= ctx.p, d - ctx.p, d)  # (..., L, m)
+        else:
+            e = mm.mod_u32(d, ctx.p, ctx.mu)
         e = mm.submod(e, ctx.s_mod[i], ctx.p)
         out.append(e)
     return jnp.stack(out, axis=-3)  # (..., L_digits, L, m)

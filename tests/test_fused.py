@@ -48,8 +48,7 @@ def test_tiled_lazy_ntt_matches_plan_ntt(m):
     p_max = max(mods)
 
     hat_lazy, c = fm._ntt_fwd_lazy(
-        xk, tw2(plan.pre_tw), tw2(plan.pre_tw_s),
-        tws2(ft.fwd_full), tws2(ft.fwd_full_s), p4, mu4, p_max, m1, m2,
+        xk, tws2(ft.fwd_full), tws2(ft.fwd_full_s), p4, mu4, p_max, m1, m2,
     )
     hat = fm._from_kernel_layout(
         fm.mm.mod_u32(hat_lazy, p4, mu4), L, m1, m2
