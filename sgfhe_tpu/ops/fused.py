@@ -13,13 +13,16 @@ src/fhe.jl:579-582). Two variants:
 
 NTT formulation (2-D tiled, Mosaic-friendly at any m): the coefficient axis
 m is laid out as (m1, m2) with m2 = 128 lanes, flat index i = i1*m2 + i2.
+The forward transform is the MERGED negacyclic form (see FusedTables): the
+butterfly is lo = u + c·v / hi = u − c·v with a block-constant ψ twiddle —
+no pre-twist pass, additive lazy-bound growth.
 
  - Stages with half-width h >= m2 operate along the MAJOR axis m1: these are
    true butterflies via a static reshape m1 -> (g, 2, h1) (h1 = h/m2) — one
    Shoup multiply per PAIR of elements, and the reshape/slicing moves no
    data because the minor (T, m2) dims are untouched.
  - Stages with h < m2 use the roll+select form along the 128-lane minor
-   axis: x' = where(bit_h(i2)==0, x + roll(x, -h), (roll(x, h) - x) * tw).
+   axis: y = x·tw; x' = where(bit_h(i2)==0, x + roll(y, -h), roll(x, h) - y).
    A lane roll never crosses a row because selected positions satisfy
    i2 + h < m2 (bit_h(i2)==0 implies i2 mod 2h < h), so the cyclic wrap
    lands only on masked-out lanes.
