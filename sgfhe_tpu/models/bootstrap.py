@@ -48,7 +48,7 @@ FUSED_MODE = os.environ.get("SGFHE_FUSED", "auto")
 _FUSED_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _use_fused(params: Params, flat_key=None) -> tuple[str, bool]:
+def _use_fused(params: Params) -> tuple[str, bool]:
     """(kernel, interpret): kernel is 'none' (jnp path), 'resident' (key in
     VMEM for the whole rotation) or 'streamed' (key double-buffered from HBM
     — any size). Both serve randomized flattening too (in-kernel PRNG
@@ -270,7 +270,7 @@ def bootstrap_batch(
 
     Dispatches to the fused Pallas rotation kernel on TPU (deterministic
     mode, VMEM-resident key); jnp fori-loop path otherwise."""
-    fused = _use_fused(params, flat_key if randomized else None)
+    fused = _use_fused(params)
     return _bootstrap_batch_jit(
         params, ctx, bkey_hat, bkey_shoup, lwe1, lwe2, flat_key, randomized,
         fused,
@@ -386,7 +386,7 @@ def _sum_mod(x, p):
 
 def pack_encrypted_bits(params, ctx, bkey, enc_bits: EncryptedBit,
                         flat_key=None) -> Ciphertext:
-    fused = _use_fused(params, flat_key)
+    fused = _use_fused(params)
     rlwe = pack_encrypted_bits_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, enc_bits.lwe,
         flat_key is not None, flat_key, fused,

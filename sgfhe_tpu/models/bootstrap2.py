@@ -222,7 +222,7 @@ def bootstrap(
     t_hats: (F, L, m) from `tables_hat`. Returns LWE of shape (B, F, n)/(B, F)
     — out[:, f] encrypts f-th function of z, each a fresh scheme-2
     ciphertext (noise reset by the bootstrap)."""
-    fused = _use_fused(params, flat_key)
+    fused = _use_fused(params)
     return _bootstrap_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, lwe_u, t_hats,
         flat_key is not None, fused, flat_key,
@@ -359,7 +359,7 @@ def mul(
     mask = jnp.uint32(params.mask_r)
     n = params.n
     B = lwe1.a.shape[0]
-    fused = _use_fused(params, flat_key)
+    fused = _use_fused(params)
     if flat_key is not None:
         fk1, fk2, fk3 = jax.random.split(flat_key, 3)
     else:

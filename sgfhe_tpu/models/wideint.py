@@ -286,7 +286,7 @@ def _mux_pass(
     u = LWE(jnp.concatenate(lanes_a), jnp.concatenate(lanes_b))
     B = pairs[0][0][0].a.shape[0]
     t0 = jnp.repeat(th[jnp.asarray(t_idx)], B, axis=0)
-    fused = bs2._use_fused(params, flat_key)
+    fused = bs2._use_fused(params)
     out = bs2._bootstrap_paired_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, u, t0,
         flat_key is not None, fused, flat_key,

@@ -368,18 +368,25 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
 
 
 def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int,
-               moduli: tuple = ()):
+               moduli: tuple):
     """In-kernel mixed-radix balanced flatten (mirrors ops/rns.flatten) in the
     limb-major layout: x (L, m1, T, m2) -> list of L digits, each (L, m1, T,
     m2). p, mu, offset: (L, 1, 1, 1); s_mod: (L, L, 1, 1, 1); inv tables
     (L, L) scalars.
 
-    When every pair of RNS primes is within 2x of each other (true for all
-    Params: the primes come from one narrow search window), a value that is
-    canonical mod p_j is < 2*p_i, so the cross-limb re-reductions need only a
-    single conditional subtract instead of a full Barrett reduction — the
-    `close` fast path below (exact either way, so bit-identical)."""
-    close = bool(moduli) and max(moduli) < 2 * min(moduli)
+    `moduli` is REQUIRED (round-3 advisor finding: a defaulted () silently
+    fell back to the slower Barrett path) and must be the same prime set the
+    p/mu device arrays encode — the dispatchers assert that against the
+    plan's static moduli (`_common_operands`). The fast path: when every pair
+    of RNS primes is within 2x of each other (utils.primes.close_primes —
+    true for all Params, one narrow search window), a value canonical mod p_j
+    is < 2*p_i, so cross-limb re-reductions need only a single conditional
+    subtract instead of a full Barrett reduction (exact either way, so
+    bit-identical)."""
+    from ..utils import primes as _pr
+
+    assert len(moduli) == L, f"moduli {moduli} inconsistent with L={L}"
+    close = _pr.close_primes(moduli)
     y = mm.addmod(x, offset, p)
     digits = []
     for i in range(L):
@@ -686,6 +693,13 @@ def _common_operands(params, ctx):
     plan = ctx.plan_Q
     rns = ctx.rns
     ft = ctx.fused
+    # trace-time consistency guard (round-3 advisor): the static moduli the
+    # kernels specialize on (close-prime path, mask windows, lazy bounds)
+    # must be the exact prime set the device tables were built from.
+    assert plan.moduli == tuple(params.moduli), (
+        f"params.moduli {params.moduli} != plan moduli {plan.moduli}: "
+        f"ctx was built from different Params"
+    )
 
     def tw2(t):  # (L, m) -> (L, m1, 1, m2)
         return t.reshape(L, m1, 1, m2)

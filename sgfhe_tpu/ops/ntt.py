@@ -72,6 +72,14 @@ class NttPlan:
     # Shoup multiplies and selects (TPU gathers are slow).
     mono_pow: jax.Array   # (log2(2m), L, m)
     mono_pow_s: jax.Array
+    # host-side copy of the moduli the device tables were built from, kept
+    # STATIC so kernel dispatchers can assert at trace time that the static
+    # `moduli` tuple they specialize on (close-prime fast path, mask windows)
+    # is the same set the p/mu/twiddle arrays encode (round-3 advisor
+    # finding: the two used to arrive via independent arguments).
+    moduli: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
 
     @property
     def num_limbs(self) -> int:
@@ -182,6 +190,7 @@ def build_plan(moduli: tuple[int, ...], m: int, negacyclic: bool = True) -> NttP
         (jnp.asarray(v), jnp.asarray(shoup_table(v))) for v in inv_stage_vals
     )
     return NttPlan(
+        moduli=tuple(int(p) for p in moduli),
         p=jnp.asarray(p_arr),
         mu=jnp.asarray(mu),
         r_mod_p=jnp.asarray(r_mod_p),

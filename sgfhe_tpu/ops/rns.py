@@ -134,7 +134,7 @@ class RnsContextHost:
             [self.offset_int % q for q in mods], dtype=np.uint32
         ).reshape(L, 1)
         return RnsContext(
-            close_primes=max(mods) < 2 * min(mods),
+            close_primes=pr.close_primes(mods),
             p=jnp.asarray(p),
             mu=jnp.asarray(mu),
             inv_pj_val=jnp.asarray(inv_pj_val),

@@ -184,3 +184,14 @@ def root_of_unity(order: int, p: int) -> int:
     if o > 1:
         assert pow(w, order // o, p) != 1
     return w
+
+
+def close_primes(moduli) -> bool:
+    """True when every pair of moduli is within 2x of each other
+    (max < 2*min) — the ONE shared predicate behind the flatten fast path:
+    a value canonical mod p_j is then < 2*p_i for every i, so cross-limb
+    re-embeddings need a single conditional subtract instead of a Barrett
+    reduction (ops/rns.flatten, ops/fused._flatten_k). Holds for every
+    Params-derived prime set (one narrow search window, find_rns_primes)."""
+    moduli = tuple(moduli)
+    return bool(moduli) and max(moduli) < 2 * min(moduli)

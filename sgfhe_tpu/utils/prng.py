@@ -15,22 +15,27 @@ import jax.numpy as jnp
 
 
 def _fold_bits(bits: jnp.ndarray) -> jax.Array:
-    """Derive a PRNG key from a (..., n) array of {0,1} bits (n mult. of 32)."""
+    """Derive a PRNG key from a (..., n) array of {0,1} bits (n mult. of 32):
+    pack into 32-bit words, then fold each word into a fixed base key. One
+    packing + one fold chain for both the single and batched cases (the
+    batched branch used to recompute the packing via a recursive vmap)."""
     n = bits.shape[-1]
     assert n % 32 == 0
     words = bits.astype(jnp.uint32).reshape(bits.shape[:-1] + (n // 32, 32))
     weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
     packed = jnp.sum(words * weights, axis=-1, dtype=jnp.uint32)  # (..., n//32)
-    key = jax.random.key(0)
 
-    def fold(key, w):
-        return jax.random.fold_in(key, w), None
+    def chain(pk):
+        def fold(key, w):
+            return jax.random.fold_in(key, w), None
+
+        key, _ = jax.lax.scan(fold, jax.random.key(0), pk)
+        return key
 
     if packed.ndim == 1:
-        key, _ = jax.lax.scan(fold, key, packed)
-        return key
-    # batched seeds: vmap the fold chain
-    return jax.vmap(_fold_bits)(bits)
+        return chain(packed)
+    flat = jax.vmap(chain)(packed.reshape((-1, packed.shape[-1])))
+    return flat.reshape(packed.shape[:-1])
 
 
 def prng_expand(bits: jnp.ndarray, factor: int) -> jnp.ndarray:
