@@ -51,9 +51,9 @@ _FUSED_VMEM_BUDGET = 10 * 1024 * 1024
 def _use_fused(params: Params) -> tuple[str, bool]:
     """(kernel, interpret): kernel is 'none' (jnp path), 'resident' (key in
     VMEM for the whole rotation) or 'streamed' (key double-buffered from HBM
-    — any size). Both serve randomized flattening too (in-kernel PRNG
-    masks; the jnp path draws its masks from the jax.random stream instead,
-    so the two randomized paths are distribution- but not bit-identical)."""
+    — any size). Both serve randomized flattening too: every path draws the
+    SAME documented Threefry-2x32 mask stream (ops/prg.py), so fused == jnp
+    bit-for-bit in randomized mode as well (tests/test_fused.py)."""
     if FUSED_MODE == "never":
         return "none", False
     resident_ok = fused_mod.fused_bkey_vmem_bytes(params) <= _FUSED_VMEM_BUDGET
@@ -66,24 +66,31 @@ def _use_fused(params: Params) -> tuple[str, bool]:
 
 
 def _external_step(params: Params, ctx: SchemeContext, a_acc, b_acc, ck_hat,
-                   ck_shoup, u_k, flat_key):
+                   ck_shoup, u_k, seed2, step_k):
     """One blind-rotation step: (a, b) <- (a, b) ⊙ ((x^{u_k}-1)·C_k + G).
 
     a_acc, b_acc: (batch, L, m) coefficient-domain RNS.
     ck_hat/ck_shoup: (2l, 2, L, m). u_k: (batch,) mod r = 2m.
+    seed2: None (deterministic flatten) or the two Threefry key words;
+    step_k names the step in the documented mask stream (ops/prg.py) —
+    the SAME stream the fused kernels draw, so jnp == fused bit-for-bit in
+    randomized mode too.
     """
     plan = ctx.plan_Q
     rns = ctx.rns
     l = params.num_digits
     p = plan.p
 
-    if flat_key is None:
+    if seed2 is None:
         da = rns_mod.flatten(rns, a_acc)  # (batch, l, L, m)
         db = rns_mod.flatten(rns, b_acc)
     else:
-        ka, kb = jax.random.split(flat_key)
-        da = rns_mod.flatten_random(rns, a_acc, ka, params.moduli)
-        db = rns_mod.flatten_random(rns, b_acc, kb, params.moduli)
+        da = rns_mod.flatten_random(
+            rns, a_acc, params.moduli, seed2, step_k, op=0
+        )
+        db = rns_mod.flatten_random(
+            rns, b_acc, params.moduli, seed2, step_k, op=1
+        )
     digits = jnp.concatenate([da, db], axis=-3)  # (batch, 2l, L, m)
     d_hat = ntt_mod.ntt_fwd(plan, digits)
 
@@ -136,15 +143,12 @@ def blind_rotate(
     n = params.n
     fused_kernel, fused_interp = fused
     if fused_kernel in ("resident", "streamed"):
-        # randomized mode: derive 64 bits of key material (two uint32 words)
-        # for the in-kernel PRNG — per-tile/per-step mask streams mix BOTH
-        # words, so the stream space is not narrowed below the jnp path's
-        # full threefry key
+        # randomized mode: the two Threefry key words ride SMEM as int32;
+        # the kernel draws the documented counter stream (ops/prg.py)
         seed = None
         if flat_key is not None:
-            seed = jax.random.bits(flat_key, (1, 2), jnp.uint32).astype(
-                jnp.int32
-            )
+            lo, hi = rns_mod.seed_words(flat_key)
+            seed = jnp.stack([lo, hi]).reshape(1, 2).astype(jnp.int32)
         rotate = (
             fused_mod.blind_rotate_fused
             if fused_kernel == "resident"
@@ -155,10 +159,7 @@ def blind_rotate(
             interpret=fused_interp, seed=seed,
         )
     else:
-        if flat_key is not None:
-            step_keys = jax.random.split(flat_key, n)
-        else:
-            step_keys = None
+        seed2 = None if flat_key is None else rns_mod.seed_words(flat_key)
 
         def body(k, carry):
             a_acc, b_acc = carry
@@ -167,9 +168,8 @@ def blind_rotate(
                 bkey_shoup, k, 0, keepdims=False
             )
             u_k = jax.lax.dynamic_index_in_dim(ua, k, 1, keepdims=False)
-            fk = None if step_keys is None else step_keys[k]
             return _external_step(
-                params, ctx, a_acc, b_acc, ck_hat, ck_shoup, u_k, fk
+                params, ctx, a_acc, b_acc, ck_hat, ck_shoup, u_k, seed2, k
             )
 
         a_acc, b_acc = jax.lax.fori_loop(0, n, body, (a_acc, b_acc))
@@ -348,7 +348,11 @@ def pack_encrypted_bits_jit(
     if fk_pack is None:
         d = rns_mod.flatten(rns, as_polys)  # (n, l, L, m)
     else:
-        d = rns_mod.flatten_random(rns, as_polys, fk_pack, params.moduli)
+        # pack-stage stream: its own seed (disjoint subkey), step = n (one
+        # beyond any rotation step), gate axis = the key-polynomial index
+        d = rns_mod.flatten_random(
+            rns, as_polys, params.moduli, rns_mod.seed_words(fk_pack), n, op=0
+        )
     d_hat = ntt_mod.ntt_fwd(plan, d)
     acc = [None, None]
     for c in range(2):

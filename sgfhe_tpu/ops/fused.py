@@ -287,21 +287,6 @@ def _ntt_inv_lazy(x, post, post_s, inv, inv_s, p, mu, c_in: int,
     return jnp.where(x >= p, x - p, x)
 
 
-def _mix32(x):
-    """32-bit finalizer mixer (splitmix32 constants): full avalanche."""
-    x = x ^ (x >> 16)
-    x = x * np.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * np.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
-    return x
-
-
-def _rand_u32(ctr, tweak):
-    """Counter-based uniform u32: double-mixed (counter, tweak) hash."""
-    return _mix32(_mix32(ctr + tweak) ^ (tweak * np.uint32(0x9E3779B9)))
-
-
 def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
                     L: int, moduli: tuple, rnd):
     """In-kernel RANDOMIZED flatten (mirrors ops/rns.flatten_random): mask
@@ -311,27 +296,24 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
     mask_window_bits for why that is within the reference's noise posture
     (src/utils.jl:198-241).
 
-    rnd = ((seed_lo, seed_hi), step_k, op_id, gate_offset): masks come from a
-    counter-based hash PRNG over the GLOBAL (gate, coefficient, step, digit,
-    operand) coordinates, so the stream is identical on every backend and for
-    every batch-tile size. 64 bits of key material (two uint32 SMEM words)
-    feed every per-digit salt, so the mask-stream space is not narrowed below
-    the jnp path's full threefry key. The generator is a statistical (not
-    cryptographic) PRG — the same posture as the reference, whose
-    MersenneTwister masks carry an in-code TODO for SHAKE
-    (src/utils.jl:63-68)."""
-    from .rns import mask_window_bits
+    rnd = ((seed_lo, seed_hi), step_k, op_id, gate_offset): masks are drawn
+    from the documented Threefry-2x32 counter stream over the GLOBAL (gate,
+    coefficient, step, operand, digit) coordinates (ops/prg.py;
+    ops/rns.mask_words is the shared implementation), so the stream is
+    bit-identical on every backend, for every batch-tile size, AND to the
+    jnp path — a cryptographic ARX cipher, beating the reference's
+    MersenneTwister-with-SHAKE-TODO posture (src/utils.jl:63-68)."""
+    from .rns import mask_window_bits, mask_words
 
     (seed_lo, seed_hi), step_k, op_id, gate_off = rnd
     m1_, T_, m2_ = x.shape[1:]
     i1 = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 0)
     it = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 1) + gate_off
     i2 = jax.lax.broadcasted_iota(jnp.uint32, (m1_, T_, m2_), 2)
-    # unique element counter per (global gate, coefficient)
+    # unique element counter per (global gate, coefficient): gate*m + coeff
     ctr = (it * np.uint32(m1_) + i1) * np.uint32(m2_) + i2
-    seed_lo = seed_lo.astype(jnp.uint32)
-    seed_hi = seed_hi.astype(jnp.uint32)
-    k32 = step_k.astype(jnp.uint32) if hasattr(step_k, "astype") else jnp.uint32(step_k)
+    seed2 = (seed_lo.astype(jnp.uint32), seed_hi.astype(jnp.uint32))
+    words = mask_words(seed2, ctr, step_k, op_id, L)
 
     masks = []
     rand_x = x
@@ -340,11 +322,7 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
         if i:
             w_int *= moduli[i - 1]
         k_bits = mask_window_bits(moduli[i])
-        tag = ((k32 * np.uint32(L) + np.uint32(i)) * np.uint32(2)
-               + jnp.uint32(op_id)) * np.uint32(0x632BE59B)
-        # both 32-bit key words avalanche into the salt
-        salt = _mix32(seed_hi ^ _mix32(seed_lo + tag))
-        v = _rand_u32(ctr, salt) & np.uint32((1 << (k_bits + 1)) - 1)
+        v = words[i] & np.uint32((1 << (k_bits + 1)) - 1)
         # embed (v - 2^k) into every limb, and subtract mask_i * w_i from
         # rand_x. Per-limb SCALAR constants only — Pallas bodies may not
         # capture numpy arrays.

@@ -216,28 +216,66 @@ def mask_window_bits(p: int) -> int:
     return (3 * s - 1).bit_length()
 
 
+def mask_words(seed2, c0, step, op: int, L: int) -> list[jax.Array]:
+    """The L uint32 flatten-mask words for counter coordinates (c0; step,
+    op) under key seed2 = (seed_lo, seed_hi) — the ONE implementation of the
+    documented mask stream (ops/prg.py module docstring), shared verbatim by
+    the jnp path (`flatten_random`) and the Pallas kernels
+    (ops/fused._flatten_rand_k), which is what makes fused == jnp
+    bit-for-bit in randomized mode. Each Threefry-2x32 block yields two
+    words = masks for digits (2*pair, 2*pair + 1)."""
+    from . import prg
+
+    num_pairs = (L + 1) // 2
+    words: list[jax.Array] = []
+    for pair in range(num_pairs):
+        c1 = prg.mask_stream_c1(step, op, pair, num_pairs)
+        y0, y1 = prg.threefry2x32(seed2[0], seed2[1], c0, c1)
+        words += [y0, y1]
+    return words[:L]
+
+
 def flatten_random(
-    ctx: RnsContext, x: jax.Array, key: jax.Array, moduli: tuple[int, ...]
+    ctx: RnsContext,
+    x: jax.Array,
+    moduli: tuple[int, ...],
+    seed2,
+    step,
+    op: int = 0,
+    gate_offset=0,
 ) -> jax.Array:
     """Randomized gadget decomposition (reference src/utils.jl:198-241).
 
     Masks each digit with an exactly-uniform value in [-2^k, 2^k)
     (2^k >= 3*s_i, see mask_window_bits), deterministically flattens the
     unmasked remainder, and adds the masks back — digit i stays within
-    (-4*p_i, 4*p_i). Takes a JAX PRNG key plus the STATIC tuple of moduli
-    (from Params) so the windows are compile-time constants.
+    (-4*p_i, 4*p_i). `moduli` is the STATIC tuple from Params so the windows
+    are compile-time constants.
+
+    Randomness is the documented Threefry-2x32 counter stream (ops/prg.py):
+    seed2 = (seed_lo, seed_hi) uint32 words, `step`/`op` name the flatten
+    within the bootstrap, and the per-element counter is
+    gate * m + coeff with gate = row-major index over the leading batch
+    axes plus `gate_offset`. The fused kernels draw the SAME stream, so the
+    two randomized paths are bit-identical (tests/test_fused.py).
     """
     L = ctx.p.shape[0]
     m = x.shape[-1]
     batch = x.shape[:-2]
-    keys = jax.random.split(key, L)
+    ng = 1
+    for b in batch:
+        ng *= int(b)
+    g = jnp.arange(ng, dtype=jnp.uint32).reshape(batch + (1,)) + jnp.uint32(
+        gate_offset
+    )
+    c0 = g * jnp.uint32(m) + jnp.arange(m, dtype=jnp.uint32)
+    words = mask_words(seed2, c0, step, op, L)
     masks = []
     rand_x = x
     for i in range(L):
         k_bits = mask_window_bits(moduli[i])
-        v = jax.random.bits(keys[i], batch + (m,), jnp.uint32) & jnp.uint32(
-            (1 << (k_bits + 1)) - 1
-        )  # uniform in [0, 2^{k+1}); value - 2^k is the signed mask
+        v = words[i] & jnp.uint32((1 << (k_bits + 1)) - 1)
+        # uniform in [0, 2^{k+1}); value - 2^k is the signed mask.
         # embed (v - 2^k) into all limbs
         u = v[..., None, :]
         e = mm.mod_u32(u, ctx.p, ctx.mu)
@@ -251,6 +289,14 @@ def flatten_random(
         rand_x = mm.submod(rand_x, contrib, ctx.p)
     y = flatten(ctx, rand_x)  # (..., L, L, m)
     return mm.addmod(y, jnp.stack(masks, axis=-3), ctx.p)
+
+
+def seed_words(key: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Derive the two uint32 Threefry key words from a JAX PRNG key — the
+    single definition both dispatch paths use (models/bootstrap.blind_rotate
+    and the kernel SMEM seed)."""
+    sw = jax.random.bits(key, (1, 2), jnp.uint32)
+    return sw[0, 0], sw[0, 1]
 
 
 def mixed_radix_digits(ctx: RnsContext, x: jax.Array) -> list[jax.Array]:

@@ -175,3 +175,34 @@ def test_fused_rotation_big_limbs_reset_paths():
         for (ra, rb), (ga, gb) in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
             np.testing.assert_array_equal(np.asarray(rb), np.asarray(gb))
+
+
+def test_randomized_bit_exact_across_paths(setup64):
+    """The round-4 oracle for randomized mode: the fused kernels and the jnp
+    path draw the SAME documented Threefry-2x32 mask stream (ops/prg.py), so
+    with the same flat_key ALL THREE paths must agree bit-for-bit — a
+    masked-arithmetic bug that only preserved correctness mod r would show
+    here (this was unverifiable while the two paths used different PRNGs)."""
+    params, ctx, sk, bkey = setup64
+    k_a, k_b = jax.random.split(jax.random.key(31))
+    B = 4
+    a1 = jax.random.randint(
+        k_a, (B, params.n), 0, params.r, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    a2 = jax.random.randint(
+        k_b, (B, params.n), 0, params.r, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    b1, b2 = a1[:, 1], a2[:, 4]
+    fk = jax.random.key(13)
+    ref = bs.bootstrap_internal(
+        params, ctx, bkey.hat, bkey.hat_shoup, a1, b1, a2, b2, fk,
+        fused=("none", False),
+    )
+    for kernel in ("resident", "streamed"):
+        got = bs.bootstrap_internal(
+            params, ctx, bkey.hat, bkey.hat_shoup, a1, b1, a2, b2, fk,
+            fused=(kernel, True),
+        )
+        for (ra, rb), (ga, gb) in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
+            np.testing.assert_array_equal(np.asarray(rb), np.asarray(gb))

@@ -61,7 +61,9 @@ def test_external_product_gadget_identity_randomized(small):
         ],
         axis=-2,
     )
-    d = rns_mod.flatten_random(rns, x, jax.random.key(42), params.moduli)
+    d = rns_mod.flatten_random(
+        rns, x, params.moduli, rns_mod.seed_words(jax.random.key(42)), 0
+    )
     acc = None
     for i in range(params.num_digits):
         t = mm.shoup_mul(d[:, i], rns.w_val[i], rns.w_shoup[i], plan.p)

@@ -67,9 +67,9 @@ def test_flatten_random_reconstruction_and_bounds():
         [int(rng.integers(0, 1 << 44)) % host.Q for _ in range(m)], dtype=object
     )
     x_rns = host.to_rns(xs)
-    key = jax.random.key(7)
+    seed2 = rns.seed_words(jax.random.key(7))
     digits = np.asarray(
-        rns.flatten_random(ctx, jnp.asarray(x_rns), key, host.moduli)
+        rns.flatten_random(ctx, jnp.asarray(x_rns), host.moduli, seed2, 0)
     )
     recon = np.zeros(m, dtype=object)
     for i in range(host.L):
@@ -88,7 +88,7 @@ def test_flatten_random_reconstruction_and_bounds():
     assert all(int(r) % host.Q == int(x) for r, x in zip(recon, xs))
     # determinism given the key
     digits2 = np.asarray(
-        rns.flatten_random(ctx, jnp.asarray(x_rns), key, host.moduli)
+        rns.flatten_random(ctx, jnp.asarray(x_rns), host.moduli, seed2, 0)
     )
     np.testing.assert_array_equal(digits, digits2)
 
