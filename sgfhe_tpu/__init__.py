@@ -39,6 +39,7 @@ from .models.bootstrap import (
 from .models import scheme2 as Scheme2  # noqa: F401  (submodule, like the ref)
 from . import circuit  # noqa: F401  (boolean-circuit evaluation layer)
 from .circuit import Circuit, evaluate as evaluate_circuit
+from .prewarm import prewarm
 
 __all__ = [
     "Params", "SchemeContext", "make_context",
@@ -51,4 +52,5 @@ __all__ = [
     "bootstrap", "bootstrap_batch", "pack_encrypted_bits",
     "Scheme2",
     "circuit", "Circuit", "evaluate_circuit",
+    "prewarm",
 ]
