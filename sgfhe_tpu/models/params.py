@@ -46,32 +46,64 @@ class Params:
     moduli: tuple[int, ...]  # RNS primes, product = Q
     Dr: int
     Dq: int
+    # RNS factorization of q for the n >= 8192 regime where q ~ 16n^2
+    # exceeds one uint32 NTT modulus (the reference reaches these sizes via
+    # its UInt128 `rlwe_type` knob, src/fhe.jl:71-81; we reach them the way
+    # scheme 2 does, src/fhe2.jl:57-60 — q a product of NTT-friendly
+    # primes, exact switching via ops/rns.rescale_exact). Empty means q is
+    # the single prime (n <= 4096, the bit-stable legacy representation).
+    q_moduli: tuple[int, ...] = ()
 
     @classmethod
     def create(cls, n: int, num_limbs: int | None = None) -> "Params":
-        """Build parameters for polynomial length n (power of two, >= 64).
+        """Build parameters for polynomial length n (power of two,
+        64 <= n <= 8192).
 
         `num_limbs` overrides the RNS limb count (the analog of the
         reference's `rlwe_type` width knob, src/fhe.jl:71-81).
         """
         assert n >= 64, "n must be >= 64"
         assert n & (n - 1) == 0, "n must be a power of 2"
+        # n = 16384 would break two uint32 invariants at once: the exact
+        # int32 negacyclic matmul bound n*r < 2^31 (ops/poly.py) and the
+        # rescale_exact float32 error budget at new_max = r = 2^18
+        assert n <= 8192, "n > 8192 exceeds the uint32 arithmetic envelope"
         r = 16 * n
-        q = pr.find_modulus(2 * n, r * n)
-        # q must fit a single uint32 NTT modulus (q ~ 16 n^2): holds through
-        # n = 4096 (reference covers the same sizes via its UInt128
-        # `rlwe_type` knob, src/fhe.jl:71-81; perf tests run Params(1024),
-        # test/performance.test.jl:54-78)
-        assert q < (1 << 30), f"n={n}: q ~ 16n^2 exceeds the uint32 NTT range"
         t = r.bit_length() - 1 - 1  # log2(r) - 1
         m = r // 2
+        if r * n < (1 << 29):
+            # single NTT-friendly prime q >= r*n with 2n | q-1 (reference
+            # src/fhe.jl:57); holds through n = 4096
+            q = pr.find_modulus(2 * n, r * n)
+            q_moduli = (q,)
+        else:
+            # q ~ 16n^2 >= 2^29: q becomes a product of NTT-friendly primes
+            # < 2^28 with the same lower bound (scheme-2's design,
+            # models/scheme2.py) and exact RNS modulus switching
+            # window [rn, 8rn]: primes ≡ 1 mod 2n are ~2n apart, so the
+            # balanced 2-prime split needs a few stride-widths of slack
+            # (the reference only requires q >= rn; all noise bounds are
+            # relative to Dq = q/4, so upper slack is harmless)
+            cnt = max(2, -(-(r * n).bit_length() // 27))
+            q_moduli = pr.find_rns_primes(
+                2 * n, r * n, 8 * r * n, cnt, limit=1 << 28
+            )
+            q = 1
+            for p in q_moduli:
+                q *= p
         qmin = 1220 * r**4 * n**2
         qmax = 1225 * r**4 * n**2
         count = num_limbs if num_limbs is not None else _num_limbs(qmax)
         moduli = pr.find_rns_primes(2 * m, qmin, qmax, count)
         return cls(
-            n=n, r=r, q=q, t=t, m=m, moduli=moduli, Dr=r // 4, Dq=q // 4
+            n=n, r=r, q=q, t=t, m=m, moduli=moduli, Dr=r // 4, Dq=q // 4,
+            q_moduli=q_moduli,
         )
+
+    @property
+    def q_factors(self) -> tuple[int, ...]:
+        """The RNS factorization of q ((q,) when q is a single prime)."""
+        return self.q_moduli if self.q_moduli else (self.q,)
 
     @property
     def Q(self) -> int:

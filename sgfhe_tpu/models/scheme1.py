@@ -43,8 +43,9 @@ from .params import Params
 @dataclasses.dataclass(frozen=True)
 class SchemeContext:
     plan_Q: ntt_mod.NttPlan       # length-m NTT over the RNS moduli
-    plan_q: ntt_mod.NttPlan       # length-n NTT over the single prime q
+    plan_q: ntt_mod.NttPlan       # length-n NTT over q's prime factor(s)
     rns: rns_mod.RnsContext       # RNS constants (rescale target r)
+    rns_q: rns_mod.RnsContext     # RNS constants for q (Lq = 1 when prime)
     tpoly_dq: jax.Array           # (L, m): t(x) * DQ~ residues (initial poly)
     tpoly_dq_hat: jax.Array       # (L, m): NTT of the above
     dq_tilde: jax.Array           # (L, 1): DQ~ mod p_i
@@ -52,10 +53,17 @@ class SchemeContext:
 
 
 def make_context(params: Params) -> SchemeContext:
+    from ..utils import progress
+
+    progress.log(
+        f"make_context n={params.n}: building NTT/RNS tables "
+        f"(m={params.m}, L={params.num_limbs})"
+    )
     plan_Q = ntt_mod.build_plan(params.moduli, params.m)
-    plan_q = ntt_mod.build_plan((params.q,), params.n)
+    plan_q = ntt_mod.build_plan(params.q_factors, params.n)
     host = rns_mod.build_context(params.moduli)
     rctx = host.device_context()
+    rctx_q = rns_mod.build_context(params.q_factors).device_context()
     # initial poly t(x) = sum_{j=-(Dr-1)}^{Dr-1} x^j (reference
     # src/fhe.jl:535-548), scaled by DQ~ = Q // 8
     Q = params.Q
@@ -77,6 +85,7 @@ def make_context(params: Params) -> SchemeContext:
         plan_Q=plan_Q,
         plan_q=plan_q,
         rns=rctx,
+        rns_q=rctx_q,
         tpoly_dq=tpoly,
         tpoly_dq_hat=tpoly_hat,
         dq_tilde=jnp.asarray(dqt),
@@ -175,10 +184,14 @@ class PrivateKey:
 
 @dataclasses.dataclass
 class PublicKey:
-    """(k0, k1 = k0 s + e) over Z_q (reference src/fhe.jl:146-168)."""
+    """(k0, k1 = k0 s + e) over Z_q (reference src/fhe.jl:146-168).
+
+    k0/k1 are (n,) residues when q is a single prime (n <= 4096); in the
+    RNS-q regime (n = 8192, params.q_moduli set) they are (Lq, n) residue
+    stacks over q's prime factors."""
 
     params: Params
-    k0: jax.Array  # (n,) uint32 mod q
+    k0: jax.Array  # (n,) uint32 mod q, or (Lq, n) RNS residues
     k1: jax.Array
 
     @classmethod
@@ -190,22 +203,45 @@ class PublicKey:
 @partial(jax.jit, static_argnums=(0,))
 def _pubkey_kernel(params: Params, ctx: SchemeContext, s_bits, key: jax.Array):
     k_u, k_e = jax.random.split(key)
-    q = params.q
-    k0 = jax.random.randint(k_u, (params.n,), 0, q, dtype=jnp.int32).astype(
-        jnp.uint32
-    )
     # e_max: largest integer strictly less than Dq / (41 n)
     dq, rr = divmod(params.Dq, 41 * params.n)
     e_max = dq - (1 if rr == 0 else 0)
-    e = jax.random.randint(
-        k_e, (params.n,), 0, 2 * e_max + 1, dtype=jnp.int32
-    ) - e_max
-    e_mod = mm.embed_signed(
-        e, jnp.uint32(q), ctx.plan_q.mu[0, 0], ctx.plan_q.r_mod_p[0, 0]
+    if len(params.q_factors) == 1:
+        q = params.q
+        k0 = jax.random.randint(
+            k_u, (params.n,), 0, q, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        e = jax.random.randint(
+            k_e, (params.n,), 0, 2 * e_max + 1, dtype=jnp.int32
+        ) - e_max
+        e_mod = mm.embed_signed(
+            e, jnp.uint32(q), ctx.plan_q.mu[0, 0], ctx.plan_q.r_mod_p[0, 0]
+        )
+        s_q = s_bits[None, :]  # (1, n): limb axis of size 1 for plan_q
+        k1 = ntt_mod.polymul(ctx.plan_q, k0[None, :], s_q)[0]
+        k1 = mm.addmod(k1, e_mod, jnp.uint32(q))
+        return k0, k1
+    # RNS q (n = 8192): k0 uniform per limb, same algebra per residue
+    # (the scheme-2 public key's structure, models/scheme2.py)
+    Lq = len(params.q_factors)
+    n = params.n
+    p_vec = ctx.plan_q.p
+    keys_u = jax.random.split(k_u, Lq)
+    k0 = jnp.stack(
+        [
+            jax.random.randint(keys_u[i], (n,), 0, p, dtype=jnp.int32).astype(
+                jnp.uint32
+            )
+            for i, p in enumerate(params.q_factors)
+        ]
     )
-    s_q = s_bits[None, :]  # (1, n): limb axis of size 1 for plan_q
-    k1 = ntt_mod.polymul(ctx.plan_q, k0[None, :], s_q)[0]
-    k1 = mm.addmod(k1, e_mod, jnp.uint32(q))
+    e = jax.random.randint(
+        k_e, (1, n), 0, 2 * e_max + 1, dtype=jnp.int32
+    ) - e_max
+    e_mod = mm.embed_signed(e, p_vec, ctx.plan_q.mu, ctx.plan_q.r_mod_p)
+    s_q = jnp.broadcast_to(s_bits, (Lq, n)).astype(jnp.uint32)
+    k1 = ntt_mod.polymul(ctx.plan_q, k0, s_q)
+    k1 = mm.addmod(k1, e_mod, p_vec)
     return k0, k1
 
 
@@ -229,10 +265,20 @@ class BootstrapKey:
     def create(
         cls, ctx: SchemeContext, sk: PrivateKey, key: jax.Array
     ) -> "BootstrapKey":
+        from ..utils import progress
+
         params = sk.params
         k_a, k_e = jax.random.split(key)
-        hat = _bkey_kernel(params, ctx, sk.key, k_a, k_e)
-        shoup = _shoup_companion(np.asarray(hat), params.moduli)
+        mb = params.n * 2 * params.num_digits * 2 * params.num_limbs \
+            * params.m * 4 // 2**20
+        with progress.stage(
+            f"BootstrapKey.create n={params.n} (device GSW generation, "
+            f"{mb} MiB hat)"
+        ):
+            hat = _bkey_kernel(params, ctx, sk.key, k_a, k_e)
+            jax.block_until_ready(hat)
+        with progress.stage("BootstrapKey.create shoup companions (host)"):
+            shoup = _shoup_companion(np.asarray(hat), params.moduli)
         return cls(
             params, hat, jnp.asarray(shoup),
             seed=np.asarray(jax.random.key_data(k_a)),
@@ -390,24 +436,68 @@ def _encrypt_public(pk: PublicKey, ctx: SchemeContext, key: jax.Array, message):
 @partial(jax.jit, static_argnums=(0,))
 def _encrypt_public_kernel(params: Params, ctx: SchemeContext, pk_k0, pk_k1,
                            key: jax.Array, message):
-    q = jnp.uint32(params.q)
     k_u, k_w1, k_w2 = jax.random.split(key, 3)
     u = jax.random.randint(k_u, (params.n,), -1, 2, dtype=jnp.int32)
     w1_max = params.Dq // (41 * params.n)
     w2_max = params.Dq // 82
     w1 = jax.random.randint(k_w1, (params.n,), -w1_max, w1_max + 1, jnp.int32)
     w2 = jax.random.randint(k_w2, (params.n,), -w2_max, w2_max + 1, jnp.int32)
+    new_max_b = params.r // (1 << (params.t - 5))
 
-    def to_q(x):
+    if len(params.q_factors) > 1:
+        # RNS q (n = 8192): residue-stack algebra + exact CRT rescale
+        Lq = len(params.q_factors)
+        p_vec = ctx.plan_q.p
+
+        def to_q(x):
+            if x.ndim == 1:
+                x = jnp.broadcast_to(x, (Lq, params.n))
+            return mm.embed_signed(x, p_vec, ctx.plan_q.mu, ctx.plan_q.r_mod_p)
+
+        u_q = to_q(u)
+        a1 = mm.addmod(ntt_mod.polymul(ctx.plan_q, pk_k0, u_q), to_q(w1), p_vec)
+        a2 = mm.addmod(ntt_mod.polymul(ctx.plan_q, pk_k1, u_q), to_q(w2), p_vec)
+        # + message * Dq: Dq > int32, so per-limb Shoup constants
+        dq_res = jnp.asarray(
+            np.array(
+                [params.Dq % p for p in params.q_factors], dtype=np.uint32
+            ).reshape(Lq, 1)
+        )
+        dq_shoup = jnp.asarray(
+            np.array(
+                [
+                    mm.shoup_const(params.Dq % p, p)
+                    for p in params.q_factors
+                ],
+                dtype=np.uint32,
+            ).reshape(Lq, 1)
+        )
+        msg_dq = mm.shoup_mul(
+            jnp.broadcast_to(message.astype(jnp.uint32), (Lq, params.n)),
+            dq_res, dq_shoup, p_vec,
+        )
+        a2 = mm.addmod(a2, msg_dq, p_vec)
+        a = rns_mod.rescale_exact(
+            ctx.rns_q, a1, params.r, params.q_factors, True
+        )
+        b = rns_mod.rescale_exact(
+            ctx.rns_q, a2, new_max_b, params.q_factors, False
+        )
+        b = b << (params.t - 5)
+        return a, b
+
+    q = jnp.uint32(params.q)
+
+    def to_q1(x):
         return mm.embed_signed(
             x, jnp.uint32(params.q), ctx.plan_q.mu[0, 0], ctx.plan_q.r_mod_p[0, 0]
         )
 
-    u_q = to_q(u)[None, :]
+    u_q = to_q1(u)[None, :]
     a1 = ntt_mod.polymul(ctx.plan_q, pk_k0[None, :], u_q)[0]
-    a1 = mm.addmod(a1, to_q(w1), q)
+    a1 = mm.addmod(a1, to_q1(w1), q)
     a2 = ntt_mod.polymul(ctx.plan_q, pk_k1[None, :], u_q)[0]
-    a2 = mm.addmod(a2, to_q(w2), q)
+    a2 = mm.addmod(a2, to_q1(w2), q)
     msg_dq = mm.mod_u32(
         message.astype(jnp.uint32) * jnp.uint32(params.Dq), q,
         jnp.uint32(mm.barrett_mu(params.q)),
@@ -417,7 +507,6 @@ def _encrypt_public_kernel(params: Params, ctx: SchemeContext, pk_k0, pk_k1,
     # modulus switch q -> r (exact): a rounds to r, b floors to top-6-bit
     # grid. mm.rescale's int32 fixup needs q < 2^28; larger q (n >= 4096,
     # the reference's UInt128 regime) takes the multi-limb exact path.
-    new_max_b = params.r // (1 << (params.t - 5))
     if params.q < (1 << 28):
         a = mm.rescale(params.r, a1, params.q, True)
         b = mm.rescale(new_max_b, a2, params.q, False)

@@ -147,7 +147,9 @@ def to_wire(obj) -> bytes:
                       native.packbits(np.asarray(obj.key).astype(np.uint8)))
     if isinstance(obj, s1.PublicKey):
         p = obj.params
-        w = p.q.bit_length()
+        # RNS-q keys (n = 8192) store (Lq, n) residue stacks; width covers
+        # the largest factor
+        w = max(q.bit_length() for q in p.q_factors)
         payload = (native.pack_uint(np.asarray(obj.k0), w)
                    + native.pack_uint(np.asarray(obj.k1), w))
         return _frame(_T_PUBLIC_KEY, {"n": p.n}, payload)
@@ -327,10 +329,13 @@ def from_wire(raw: bytes, ctx=None):
         bits = native.unpackbits(payload, params.n)
         return s1.PrivateKey(params, jnp.asarray(bits.astype(np.uint32)))
     if type_code == _T_PUBLIC_KEY:
-        w = params.q.bit_length()
-        half = (params.n * w + 7) // 8
-        k0 = native.unpack_uint(payload[:half], params.n, w)
-        k1 = native.unpack_uint(payload[half:], params.n, w)
+        w = max(q.bit_length() for q in params.q_factors)
+        Lq = len(params.q_factors)
+        cnt = Lq * params.n
+        half = (cnt * w + 7) // 8
+        shape = (params.n,) if Lq == 1 else (Lq, params.n)
+        k0 = native.unpack_uint(payload[:half], cnt, w).reshape(shape)
+        k1 = native.unpack_uint(payload[half:], cnt, w).reshape(shape)
         return s1.PublicKey(params, jnp.asarray(k0), jnp.asarray(k1))
     if type_code == _T_BOOTSTRAP_KEY:
         n, l, L, m = (params.n, params.num_digits, params.num_limbs, params.m)
