@@ -11,8 +11,9 @@ publishing a fast-but-wrong number. Secondary metrics on stderr: Params(512)
 gates/s, NTT transforms/s at n=512/1024, and VPU-roofline utilization
 (measured Shoup-mul ceiling vs the kernel's analytic op count).
 
-Env: SGFHE_BENCH_SKIP_512=1 skips the Params(512) column (it adds ~2 min of
-setup); SGFHE_TILE / SGFHE_FUSED tune the kernel dispatch (ops/fused.py).
+Env: SGFHE_BENCH_SKIP_512=1 / SGFHE_BENCH_SKIP_1024=1 skip the Params(512) /
+Params(1024) columns (each adds minutes of setup on a cold cache);
+SGFHE_TILE / SGFHE_FUSED tune the kernel dispatch (ops/fused.py).
 """
 
 import json
@@ -174,6 +175,22 @@ def main():
             raise
         except Exception as e:
             print(f"n=512 bench failed: {e}", file=sys.stderr)
+    if not os.environ.get("SGFHE_BENCH_SKIP_1024"):
+        # the reference's perf tier runs Params(1024)
+        # (test/performance.test.jl:54-78); L = 3 limbs exercises the lazy-
+        # reduction reset schedule on real hardware
+        try:
+            gps1k, dt1k, params1k = bench_gates(n=1024, batch=16, iters=2)
+            print(
+                f"bootstrap n=1024: 16 gates in {dt1k*1000:.1f} ms -> "
+                f"{gps1k:.1f} gates/s (truth tables verified)",
+                file=sys.stderr,
+            )
+            report_roofline(params1k, gps1k)
+        except SystemExit:
+            raise
+        except Exception as e:
+            print(f"n=1024 bench failed: {e}", file=sys.stderr)
     for npoly in (512, 1024):
         try:
             tps = bench_ntt(npoly)
