@@ -213,16 +213,38 @@ class BootstrapKey:
     hat_shoup: jax.Array
     seed: "np.ndarray | None" = None  # PRNG key data for the a-column
 
+    # key-index chunk for device generation: the k=4 key is 4.3 GiB (hat),
+    # and the one-shot kernel holds ~4 key-sized intermediates — chunking
+    # bounds device memory at ~2 GiB regardless of k. The chunked stream is
+    # CANONICAL (chunk c draws from fold_in(k_a, c)), so seeded
+    # regeneration (from_seeded) reproduces create() bit-for-bit.
+    KEY_CHUNK = 128
+
     @classmethod
     def create(cls, ctx: Scheme2Context, sk: PrivateKey, key) -> "BootstrapKey":
         from .scheme1 import _shoup_companion
+        from ..utils import progress
 
         params = sk.params
+        n, m, L = params.n, params.m, params.num_limbs
+        rows = 2 * params.num_digits
         k_a, k_e = jax.random.split(key)
-        hat = _bkey2_kernel(params, ctx, sk.key, k_a, k_e)
-        shoup = _shoup_companion(np.asarray(hat), params.moduli)
+        chunk = min(cls.KEY_CHUNK, n)
+        hat_np = np.empty((n, rows, 2, L, m), dtype=np.uint32)
+        with progress.stage(
+            f"Scheme2 BootstrapKey.create k={params.k} "
+            f"({hat_np.nbytes >> 20} MiB hat, {n // chunk} chunks)"
+        ):
+            for ci in range(n // chunk):
+                h = _bkey2_chunk(
+                    params, ctx, sk.key, sk.key[ci * chunk:(ci + 1) * chunk],
+                    jax.random.fold_in(k_a, ci), jax.random.fold_in(k_e, ci),
+                )
+                hat_np[ci * chunk:(ci + 1) * chunk] = np.asarray(h)
+        with progress.stage("Scheme2 BootstrapKey shoup companions (host)"):
+            shoup = _shoup_companion(hat_np, params.moduli)
         return cls(
-            params, hat, jnp.asarray(shoup),
+            params, jnp.asarray(hat_np), jnp.asarray(shoup),
             seed=np.asarray(jax.random.key_data(k_a)),
         )
 
@@ -230,39 +252,59 @@ class BootstrapKey:
     def from_seeded(
         cls, params: Params, ctx: Scheme2Context, seed, b_hat
     ) -> "BootstrapKey":
-        """Rebuild from (seed, b-column) — see scheme-1 BootstrapKey."""
+        """Rebuild from (seed, b-column) — see scheme-1 BootstrapKey.
+        Regenerates the a-column with the same canonical chunked stream as
+        `create` (chunk c <- fold_in(k_a, c))."""
         from .scheme1 import _shoup_companion, _uniform_residues
 
         n, m, L = params.n, params.m, params.num_limbs
         rows = 2 * params.num_digits
         k_a = jax.random.wrap_key_data(jnp.asarray(seed, dtype=jnp.uint32))
-        a = _uniform_residues(k_a, (n, rows, L, m), params.moduli)
-        a_hat = ntt_mod.ntt_fwd(ctx.plan_Q, a)
-        hat = jnp.stack([a_hat, jnp.asarray(b_hat)], axis=2)
-        shoup = _shoup_companion(np.asarray(hat), params.moduli)
-        return cls(params, hat, jnp.asarray(shoup), seed=np.asarray(seed))
+        chunk = min(cls.KEY_CHUNK, n)
+        b_np = np.asarray(b_hat)
+        hat_np = np.empty((n, rows, 2, L, m), dtype=np.uint32)
+        for ci in range(n // chunk):
+            a = _uniform_residues(
+                jax.random.fold_in(k_a, ci), (chunk, rows, L, m),
+                params.moduli,
+            )
+            a_hat = ntt_mod.ntt_fwd(ctx.plan_Q, a)
+            hat_np[ci * chunk:(ci + 1) * chunk, :, 0] = np.asarray(a_hat)
+            hat_np[ci * chunk:(ci + 1) * chunk, :, 1] = (
+                b_np[ci * chunk:(ci + 1) * chunk]
+            )
+        shoup = _shoup_companion(hat_np, params.moduli)
+        return cls(
+            params, jnp.asarray(hat_np), jnp.asarray(shoup),
+            seed=np.asarray(seed),
+        )
 
 
 from functools import partial as _partial  # noqa: E402
 
 
 @_partial(jax.jit, static_argnums=(0,))
-def _bkey2_kernel(params: Params, ctx: Scheme2Context, s_bits, k_a, k_e):
-    """Device computation of the scheme-2 bootstrap key as ONE jitted
-    program (eager per-op dispatch costs minutes over the device tunnel).
-    Gadget terms ride the b-column only (uniform, seed-regenerable
-    a-column) — see scheme-1 `_bkey_kernel` for the algebra."""
+def _bkey2_chunk(params: Params, ctx: Scheme2Context, s_bits, s_chunk,
+                 k_a_c, k_e_c):
+    """Device computation of ONE key-index chunk of the scheme-2 bootstrap
+    key (jitted; eager per-op dispatch costs minutes over the device
+    tunnel). s_bits: the full (n,) key (extends to s_ext); s_chunk: the
+    (chunk,) slice whose GSW rows this call produces; k_a_c/k_e_c: the
+    chunk's folded subkeys. Gadget terms ride the b-column only (uniform,
+    seed-regenerable a-column) — see scheme-1 `_bkey_kernel` for the
+    algebra."""
     from .scheme1 import _uniform_residues
 
-    n, m, L = params.n, params.m, params.num_limbs
+    m, L = params.m, params.num_limbs
     l = params.num_digits
     rows = 2 * l
+    nc = s_chunk.shape[0]
     plan = ctx.plan_Q
     p_vec = plan.p
 
-    a = _uniform_residues(k_a, (n, rows, L, m), params.moduli)
+    a = _uniform_residues(k_a_c, (nc, rows, L, m), params.moduli)
     e = jax.random.randint(
-        k_e, (n, rows, 1, m), -params.tau, params.tau + 1, dtype=jnp.int32
+        k_e_c, (nc, rows, 1, m), -params.tau, params.tau + 1, dtype=jnp.int32
     )
     e_mod = mm.embed_signed(e, p_vec, plan.mu, plan.r_mod_p)
 
@@ -275,10 +317,10 @@ def _bkey2_kernel(params: Params, ctx: Scheme2Context, s_bits, k_a, k_e):
     b = mm.addmod(b, e_mod, p_vec)
 
     wv = ctx.rns_Q.w_val[..., 0]  # (l, L)
-    add0 = (s_bits[:, None, None] * wv[None]).astype(jnp.uint32)
-    term = add0[:, :, :, None] * s_rns[None, None]  # (n, l, L, m), < 2^30
+    add0 = (s_chunk[:, None, None] * wv[None]).astype(jnp.uint32)
+    term = add0[:, :, :, None] * s_rns[None, None]  # (nc, l, L, m), < 2^30
     b = b.at[:, :l].set(mm.submod(b[:, :l], term, p_vec))
-    delta = jnp.zeros((n, l, L, m), dtype=jnp.uint32)
+    delta = jnp.zeros((nc, l, L, m), dtype=jnp.uint32)
     delta = delta.at[:, :, :, 0].set(add0)
     b = b.at[:, l:].set(mm.addmod(b[:, l:], delta, p_vec))
 
