@@ -243,6 +243,7 @@ def flatten_random(
     step,
     op: int = 0,
     gate_offset=0,
+    c0=None,
 ) -> jax.Array:
     """Randomized gadget decomposition (reference src/utils.jl:198-241).
 
@@ -262,13 +263,18 @@ def flatten_random(
     L = ctx.p.shape[0]
     m = x.shape[-1]
     batch = x.shape[:-2]
-    ng = 1
-    for b in batch:
-        ng *= int(b)
-    g = jnp.arange(ng, dtype=jnp.uint32).reshape(batch + (1,)) + jnp.uint32(
-        gate_offset
-    )
-    c0 = g * jnp.uint32(m) + jnp.arange(m, dtype=jnp.uint32)
+    if c0 is None:
+        ng = 1
+        for b in batch:
+            ng *= int(b)
+        g = jnp.arange(ng, dtype=jnp.uint32).reshape(batch + (1,)) + jnp.uint32(
+            gate_offset
+        )
+        c0 = g * jnp.uint32(m) + jnp.arange(m, dtype=jnp.uint32)
+    # c0 override: callers whose local coefficient layout is not the flat
+    # 0..m-1 order (the tp-sharded rotation holds a column slice of the
+    # coefficient axis) pass the global (gate*m + coeff) counters directly,
+    # so their mask stream matches the single-device one bit-for-bit.
     words = mask_words(seed2, c0, step, op, L)
     masks = []
     rand_x = x

@@ -25,9 +25,10 @@ monomial bit-ladder tables are precomputed on that map, so the rotation's
 
 Per rotation step the communication is TWO all_to_alls of the digit/
 accumulator tiles (batch*(2l+2)*L*m words total) over ICI — the key never
-moves. Deterministic flattening only (the mode that is also the TPU-fast
-default); the counter-stream mask layout for the sharded case is future
-work.
+moves. Both flattening modes work: randomized masks are drawn from the
+documented Threefry counter stream (ops/prg.py) on GLOBAL (gate, coeff)
+coordinates, so the sharded randomized rotation is bit-identical to the
+single-device one too.
 
 Exactness: every op is exact modular arithmetic, and the pointwise products
 pair identical evaluation points in both the single-device and distributed
@@ -168,6 +169,7 @@ def blind_rotate_dist(
     a0: jax.Array,
     b0: jax.Array,
     axis: str = "tp",
+    flat_key=None,
 ):
     """The n-step blind rotation with the hat axis sharded over `axis`.
 
@@ -176,7 +178,10 @@ def blind_rotate_dist(
     ua: (B, n_steps) mod-r exponents; a0, b0: (B, L, m) coefficient-domain
     accumulators (flat layout, same as models/bootstrap.blind_rotate).
     Returns (a_acc, b_acc) as full (B, L, m) arrays, bit-identical to the
-    single-device rotation. Deterministic flattening only.
+    single-device rotation — in BOTH modes: randomized flattening
+    (flat_key) draws the same documented Threefry counter stream
+    (ops/prg.py) on global (gate, coeff) coordinates, so sharded randomized
+    == single-device randomized, bit for bit.
     """
     n_steps = bkey_dist.shape[0]
     l = params.num_digits
@@ -190,17 +195,34 @@ def blind_rotate_dist(
     rns = ctx.rns
     dplan = rplan.dplan
     p3 = dplan.plan1.p[..., None]  # (L, 1, 1)
-
-    def flatten_local(x):
-        """(B, L, m1, m2_loc) -> (B, 2l-stackable digits): flatten is
-        per-coefficient, so the sharded layout flattens locally."""
-        B = x.shape[0]
-        flat = x.reshape(B, L, m1 * x.shape[-1])
-        d = rns_mod.flatten(rns, flat)  # (B, l, L, M_loc)
-        return d.reshape(B, l, L, m1, x.shape[-1])
+    seed2 = None if flat_key is None else rns_mod.seed_words(flat_key)
 
     def body(ua, a0, b0, bk, bks):
         idx = jax.lax.axis_index(axis)
+
+        def flatten_local(x, step, op):
+            """(B, L, m1, m2_loc) -> digits: flatten is per-coefficient, so
+            the sharded layout flattens locally; randomized masks use the
+            GLOBAL coefficient counter gate*m + i1*m2 + idx*m2_loc + j."""
+            B = x.shape[0]
+            m2l = x.shape[-1]
+            flat = x.reshape(B, L, m1 * m2l)
+            if seed2 is None:
+                d = rns_mod.flatten(rns, flat)  # (B, l, L, M_loc)
+            else:
+                g = jnp.arange(B, dtype=jnp.uint32)[:, None, None]
+                i1 = jnp.arange(m1, dtype=jnp.uint32)[None, :, None]
+                j = jnp.arange(m2l, dtype=jnp.uint32)[None, None, :]
+                c0 = (
+                    g * jnp.uint32(m)
+                    + i1 * jnp.uint32(m2)
+                    + idx.astype(jnp.uint32) * jnp.uint32(m2_loc)
+                    + j
+                ).reshape(B, m1 * m2l)
+                d = rns_mod.flatten_random(
+                    rns, flat, params.moduli, seed2, step, op=op, c0=c0
+                )
+            return d.reshape(B, l, L, m1, m2l)
 
         def fwd(x):
             x = nd.fwd_local_dyn(dplan, x, idx, m2_loc)
@@ -227,8 +249,8 @@ def blind_rotate_dist(
 
         def step(k, carry):
             a_acc, b_acc = carry  # (B, L, m1, m2_loc)
-            da = flatten_local(a_acc)
-            db = flatten_local(b_acc)
+            da = flatten_local(a_acc, k, 0)
+            db = flatten_local(b_acc, k, 1)
             digits = jnp.concatenate([da, db], axis=1)  # (B, 2l, L, m1, m2l)
             d_hat = fwd(digits)                         # (B, 2l, L, m1l, m2)
             ck = jax.lax.dynamic_index_in_dim(bk, k, 0, keepdims=False)
@@ -309,7 +331,7 @@ def bootstrap_internal_dist(
 
     a_acc, b_acc = blind_rotate_dist(
         params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-        ua, a_acc, b_acc, axis=axis,
+        ua, a_acc, b_acc, axis=axis, flat_key=flat_key,
     )
 
     i_and = 3 * m // 4
@@ -326,7 +348,7 @@ def bootstrap_internal_dist(
 
 def rotate_extract_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-    ua, ub, t0, axis: str = "tp",
+    ua, ub, t0, axis: str = "tp", flat_key=None,
 ):
     """Scheme-2 functional rotate-and-extract on the tp-sharded rotation
     (mirrors models/bootstrap2._rotate_extract): rotate each lane's own
@@ -343,7 +365,7 @@ def rotate_extract_dist(
     a_acc = jnp.zeros((M, params.num_limbs, m), dtype=jnp.uint32)
     a_acc, b_acc = blind_rotate_dist(
         params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-        ua, a_acc, b_acc, axis=axis,
+        ua, a_acc, b_acc, axis=axis, flat_key=flat_key,
     )
     p = plan.p
     a_q = pol.extract(a_acc, 0, n, p)
@@ -359,11 +381,11 @@ def rotate_extract_dist(
 
 def bootstrap2_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-    lwe_u, t_hats, axis: str = "tp",
+    lwe_u, t_hats, axis: str = "tp", flat_key=None,
 ):
     """Scheme-2 functional bootstrap over the tp-sharded rotation: evaluate
     F functions of each lane's phase (models/bootstrap2.bootstrap with the
-    key spanning the mesh). Deterministic flattening."""
+    key spanning the mesh)."""
     from ..models.scheme1 import LWE
 
     B = lwe_u.a.shape[0]
@@ -373,7 +395,7 @@ def bootstrap2_dist(
     t0 = jnp.tile(t_hats, (B, 1, 1))
     out = rotate_extract_dist(
         params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup, ua, ub, t0,
-        axis=axis,
+        axis=axis, flat_key=flat_key,
     )
     n = params.n
     return LWE(out.a.reshape(B, Fn, n), out.b.reshape(B, Fn))
@@ -381,7 +403,7 @@ def bootstrap2_dist(
 
 def add_with_carry_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-    lwe1, lwe2, carry=None, axis: str = "tp",
+    lwe1, lwe2, carry=None, axis: str = "tp", flat_key=None,
 ):
     """k-bit add-with-carry through the sharded rotation — one rotation pass,
     digit and carry as adjacent lanes (models/bootstrap2.add_with_carry)."""
@@ -399,7 +421,8 @@ def add_with_carry_dist(
     carry_tab = [1 if z >= 2**k else 0 for z in range(zmax)]
     th = bs2.tables_hat(params, ctx, [digit_tab, carry_tab])
     out = bootstrap2_dist(
-        params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup, u, th, axis=axis
+        params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup, u, th,
+        axis=axis, flat_key=flat_key,
     )
     digit = LWE(out.a[:, 0], out.b[:, 0])
     cout = LWE(out.a[:, 1], out.b[:, 1])

@@ -136,3 +136,14 @@ def test_pack_encrypted_bits(setup64, randomized):
     # re-split and decrypt each bit
     bits2 = F.split_ciphertext(packed)
     assert (np.asarray(F.decrypt_bit(sk, bits2)) == msg).all()
+
+
+def test_prewarm_runs_production_dispatch():
+    """prewarm must drive the real bootstrap_batch dispatch (zero-valued
+    stand-ins) and report stage timings for each requested mode."""
+    import sgfhe_tpu as F
+
+    params = F.Params.create(64)
+    t = F.prewarm(params, batch=8, modes=("deterministic",), verbose=False)
+    assert set(t) == {"context", "deterministic"}
+    assert all(v >= 0 for v in t.values())

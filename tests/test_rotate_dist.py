@@ -167,3 +167,48 @@ def test_scheme2_add_with_carry_dist():
     s = x[:B] + y[:B]
     np.testing.assert_array_equal(dd, s % 2)
     np.testing.assert_array_equal(cc, s // 2)
+
+
+def test_blind_rotate_dist_randomized_bit_exact():
+    """Randomized flattening in the sharded rotation draws the same global
+    Threefry counter stream as the single-device path: bit-equal outputs
+    for the same flat_key (m = 8192, truncated 3-step key)."""
+    from sgfhe_tpu.ops import rns as rns_mod
+
+    params = F.Params.create(1024)
+    ctx = F.make_context(params)
+    n_steps, B = 3, 2
+    bkey_hat, bkey_shoup = _synthetic_key(
+        params, ctx, n_steps, jax.random.key(15)
+    )
+    k_u, k_a, k_b = jax.random.split(jax.random.key(19), 3)
+    ua = jax.random.randint(
+        k_u, (B, n_steps), 0, params.r, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    a0 = jax.random.randint(
+        k_a, (B, params.num_limbs, params.m), 0, min(params.moduli),
+        dtype=jnp.int32,
+    ).astype(jnp.uint32)
+    b0 = jax.random.randint(
+        k_b, (B, params.num_limbs, params.m), 0, min(params.moduli),
+        dtype=jnp.int32,
+    ).astype(jnp.uint32)
+    fk = jax.random.key(23)
+
+    seed2 = rns_mod.seed_words(fk)
+    ra, rb = a0, b0
+    for k in range(n_steps):
+        ra, rb = bs._external_step(
+            params, ctx, ra, rb, bkey_hat[k], bkey_shoup[k], ua[:, k],
+            seed2, k,
+        )
+
+    mesh = mesh_mod.make_mesh(dp=1, tp=8)
+    rplan = rd.build_rotation_plan(params.moduli, 64, 128)
+    hat_d, shoup_d = rd.bkey_to_dist(ctx, rplan, bkey_hat)
+    ga, gb = rd.blind_rotate_dist(
+        params, ctx, rplan, mesh, jnp.asarray(hat_d), jnp.asarray(shoup_d),
+        ua, a0, b0, flat_key=fk,
+    )
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(gb))
