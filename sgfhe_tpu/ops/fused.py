@@ -60,7 +60,15 @@ LANES = 128
 # Scoped-VMEM ceiling for the kernels. The Mosaic default (16 MiB) is below
 # v5e's physical VMEM; raising it lets the streamed kernel carry a larger
 # batch tile (fewer full restreams of the ~600 MB n=512 key from HBM).
-_VMEM_LIMIT = int(os.environ.get("SGFHE_VMEM_LIMIT", 64 * 1024 * 1024))
+# m >= 8192 at tile 16 needs 73.3 MiB of scoped stack (measured, n=1024),
+# so those sizes default to 96 MiB (v5e physical VMEM is 128 MiB).
+_VMEM_LIMIT_ENV = os.environ.get("SGFHE_VMEM_LIMIT")
+
+
+def _vmem_limit(m: int) -> int:
+    if _VMEM_LIMIT_ENV:
+        return int(_VMEM_LIMIT_ENV)
+    return (96 if m >= 8192 else 64) * 1024 * 1024
 
 
 @jax.tree_util.register_dataclass
@@ -656,7 +664,11 @@ def _auto_tile(params, default: int, *, streamed: bool) -> int:
     if env is not None:
         return env
     L, m = params.num_limbs, params.m
-    budget = 16 * 1024 * 1024 if streamed else 4 * 1024 * 1024
+    # streamed budget 32 MiB: at m=8192/L=3 this yields tile 16 (measured
+    # +10% over tile 8 at n=1024: 45.8 vs 41.5 gates/s; needs the 96 MiB
+    # scoped limit above) while m=16384/L=4 stays at tile 8 and n=512 is
+    # still capped by `default` at its measured sweet spot 16.
+    budget = 32 * 1024 * 1024 if streamed else 4 * 1024 * 1024
     cap = budget // (16 * L * m * 4)
     t = 8
     while t * 2 <= min(default, max(8, cap)):
@@ -774,7 +786,7 @@ def blind_rotate_fused(
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(m)),
     )(
         ua.T[:, :, None],
         _to_kernel_layout(a0, L, m1, m2),
@@ -861,7 +873,7 @@ def blind_rotate_streamed(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=_vmem_limit(m),
         ),
     )(
         ua.T[:, :, None],
