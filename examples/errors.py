@@ -8,8 +8,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-import sys
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -66,7 +66,7 @@ def _use_fused(params: Params) -> tuple[str, bool]:
 
 
 def _external_step(params: Params, ctx: SchemeContext, a_acc, b_acc, ck_hat,
-                   ck_shoup, u_k, seed2, step_k):
+                   ck_shoup, u_k, seed2, step_k, prune: int = 0):
     """One blind-rotation step: (a, b) <- (a, b) ⊙ ((x^{u_k}-1)·C_k + G).
 
     a_acc, b_acc: (batch, L, m) coefficient-domain RNS.
@@ -82,33 +82,38 @@ def _external_step(params: Params, ctx: SchemeContext, a_acc, b_acc, ck_hat,
     p = plan.p
 
     if seed2 is None:
-        da = rns_mod.flatten(rns, a_acc)  # (batch, l, L, m)
-        db = rns_mod.flatten(rns, b_acc)
+        da = rns_mod.flatten(rns, a_acc, prune)  # (batch, l - prune, L, m)
+        db = rns_mod.flatten(rns, b_acc, prune)
     else:
         da = rns_mod.flatten_random(
-            rns, a_acc, params.moduli, seed2, step_k, op=0
+            rns, a_acc, params.moduli, seed2, step_k, op=0, prune=prune
         )
         db = rns_mod.flatten_random(
-            rns, b_acc, params.moduli, seed2, step_k, op=1
+            rns, b_acc, params.moduli, seed2, step_k, op=1, prune=prune
         )
-    digits = jnp.concatenate([da, db], axis=-3)  # (batch, 2l, L, m)
+    digits = jnp.concatenate([da, db], axis=-3)  # (batch, 2(l-prune), L, m)
     d_hat = ntt_mod.ntt_fwd(plan, digits)
+    lk = l - prune  # kept digits per operand (approximate gadget; see
+    # models/params.prune_error_bound for the admitted noise)
 
-    # S_c = sum_r d̂_r · Ĉ[r, c]   (Shoup multiplies, unrolled over 2l rows)
+    # S_c = sum_r d̂_r · Ĉ[r, c]   (Shoup multiplies, unrolled over kept rows)
     # T_c = sum_i w_i · d̂_{col-digits i}  == hat of the undecomposed operand
+    #       minus the pruned part (acc - eps)
     new_hats = []
     for c in range(2):
         s_acc = None
         t_acc = None
-        for row in range(2 * l):
+        for row in range(2 * lk):
+            krow = prune + row if row < lk else l + prune + (row - lk)
             prod = mm.shoup_mul(
-                d_hat[..., row, :, :], ck_hat[row, c], ck_shoup[row, c], p
+                d_hat[..., row, :, :], ck_hat[krow, c], ck_shoup[krow, c], p
             )
             s_acc = prod if s_acc is None else mm.addmod(s_acc, prod, p)
-        for i in range(l):
-            row = i if c == 0 else l + i
+        for i in range(lk):
+            row = i if c == 0 else lk + i
             wprod = mm.shoup_mul(
-                d_hat[..., row, :, :], rns.w_val[i], rns.w_shoup[i], p
+                d_hat[..., row, :, :],
+                rns.w_val[prune + i], rns.w_shoup[prune + i], p
             )
             t_acc = wprod if t_acc is None else mm.addmod(t_acc, wprod, p)
         new_hats.append((s_acc, t_acc))
@@ -131,6 +136,7 @@ def blind_rotate(
     b_acc: jax.Array,
     flat_key=None,
     fused: tuple[str, bool] = ("none", False),
+    prune: int = 0,
 ):
     """The shared n-step rotation core (reference hot loop src/fhe.jl:579-582):
     (a, b) <- (a, b) ⊙ ((x^{u_k}-1)·C_k + G) for k = 0..n-1, batched.
@@ -141,6 +147,15 @@ def blind_rotate(
     exponents; a_acc, b_acc: (batch, L, m) initial accumulator.
     """
     n = params.n
+    if prune:
+        from .params import prune_error_bound
+
+        bound = prune_error_bound(params, prune)
+        assert bound < params.Dr / 16, (
+            f"digit pruning prune={prune} admits post-rescale noise "
+            f"{bound:.3g}, too close to the Dr/4 = {params.Dr // 4} decision "
+            f"budget (guard: < Dr/16 = {params.Dr / 16:.3g})"
+        )
     fused_kernel, fused_interp = fused
     if fused_kernel in ("resident", "streamed"):
         # randomized mode: the two Threefry key words ride SMEM as int32;
@@ -156,7 +171,7 @@ def blind_rotate(
         )
         a_acc, b_acc = rotate(
             params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc,
-            interpret=fused_interp, seed=seed,
+            interpret=fused_interp, seed=seed, prune=prune,
         )
     else:
         seed2 = None if flat_key is None else rns_mod.seed_words(flat_key)
@@ -169,7 +184,8 @@ def blind_rotate(
             )
             u_k = jax.lax.dynamic_index_in_dim(ua, k, 1, keepdims=False)
             return _external_step(
-                params, ctx, a_acc, b_acc, ck_hat, ck_shoup, u_k, seed2, k
+                params, ctx, a_acc, b_acc, ck_hat, ck_shoup, u_k, seed2, k,
+                prune,
             )
 
         a_acc, b_acc = jax.lax.fori_loop(0, n, body, (a_acc, b_acc))
@@ -184,6 +200,7 @@ def bootstrap_internal(
     a1: jax.Array, b1: jax.Array, a2: jax.Array, b2: jax.Array,
     flat_key=None,
     fused: tuple[str, bool] = ("none", False),
+    prune: int = 0,
 ):
     """Blind rotation + gate extraction (reference src/fhe.jl:559-595),
     batched.
@@ -209,7 +226,8 @@ def bootstrap_internal(
     a_acc = jnp.zeros((batch, L, m), dtype=jnp.uint32)
 
     a_acc, b_acc = blind_rotate(
-        params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc, flat_key, fused
+        params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc, flat_key, fused,
+        prune,
     )
 
     i_and = 3 * m // 4
@@ -235,7 +253,7 @@ def _reduce_lwe(params: Params, ctx: SchemeContext, lwe_q):
     return LWE(a_r, b_r)
 
 
-@partial(jax.jit, static_argnums=(0, 7, 8))
+@partial(jax.jit, static_argnums=(0, 7, 8, 9))
 def _bootstrap_batch_jit(
     params: Params,
     ctx: SchemeContext,
@@ -246,11 +264,12 @@ def _bootstrap_batch_jit(
     flat_key=None,
     randomized: bool = False,
     fused: tuple[str, bool] = ("none", False),
+    prune: int = 0,
 ):
     fk = flat_key if randomized else None
     triple = bootstrap_internal(
         params, ctx, bkey_hat, bkey_shoup, lwe1.a, lwe1.b, lwe2.a, lwe2.b, fk,
-        fused=fused,
+        fused=fused, prune=prune,
     )
     return tuple(_reduce_lwe(params, ctx, t) for t in triple)
 
@@ -264,21 +283,38 @@ def bootstrap_batch(
     lwe2: LWE,
     flat_key=None,
     randomized: bool = False,
+    epoch: "int | None" = None,
+    prune: int = 0,
 ):
     """Batched gate bootstrap: returns (AND, OR, XOR) LWE batches mod r
     (reference src/fhe.jl:608-621). One pass computes all three gates.
 
     Dispatches to the fused Pallas rotation kernel on TPU (deterministic
-    mode, VMEM-resident key); jnp fori-loop path otherwise."""
+    mode, VMEM-resident key); jnp fori-loop path otherwise.
+
+    Randomized mode folds a fresh per-call epoch into flat_key by default,
+    so repeated calls with the same key never replay the same mask stream
+    (ops/prg.py); pass an explicit `epoch` int for reproducible masks.
+
+    prune > 0 enables APPROXIMATE gadget decomposition (drop the `prune`
+    lowest digit rows of the external product) — the opt-in fast mode: the
+    result is no longer bit-identical to the exact path, but decrypts
+    identically; the admitted phase noise (models/params.prune_error_bound,
+    derivation docs/theory.md) is asserted < Dr/16 at trace time. prune=0
+    (default) is the bit-exact-vs-reference mode."""
+    from ..ops import prg
+
     fused = _use_fused(params)
+    if randomized:
+        flat_key = prg.fold_epoch(flat_key, epoch)
     return _bootstrap_batch_jit(
         params, ctx, bkey_hat, bkey_shoup, lwe1, lwe2, flat_key, randomized,
-        fused,
+        fused, prune,
     )
 
 
 def bootstrap(params, ctx, bkey, enc_bit1: EncryptedBit, enc_bit2: EncryptedBit,
-              flat_key=None):
+              flat_key=None, epoch: "int | None" = None):
     """Single- or batched-gate convenience wrapper returning EncryptedBits."""
     a1 = jnp.atleast_2d(enc_bit1.lwe.a)
     a2 = jnp.atleast_2d(enc_bit2.lwe.a)
@@ -286,7 +322,7 @@ def bootstrap(params, ctx, bkey, enc_bit1: EncryptedBit, enc_bit2: EncryptedBit,
     b2 = jnp.atleast_1d(enc_bit2.lwe.b)
     res = bootstrap_batch(
         params, ctx, bkey.hat, bkey.hat_shoup, LWE(a1, b1), LWE(a2, b2),
-        flat_key, flat_key is not None,
+        flat_key, flat_key is not None, epoch,
     )
     out = []
     for lwe in res:
@@ -389,8 +425,12 @@ def _sum_mod(x, p):
 
 
 def pack_encrypted_bits(params, ctx, bkey, enc_bits: EncryptedBit,
-                        flat_key=None) -> Ciphertext:
+                        flat_key=None, epoch: "int | None" = None) -> Ciphertext:
+    from ..ops import prg
+
     fused = _use_fused(params)
+    if flat_key is not None:
+        flat_key = prg.fold_epoch(flat_key, epoch)
     rlwe = pack_encrypted_bits_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, enc_bits.lwe,
         flat_key is not None, flat_key, fused,

@@ -160,6 +160,7 @@ def _rotate_extract(
     t0: jax.Array,         # (M, L, m) per-lane NTT-domain test vectors
     flat_key,
     fused,
+    prune: int = 0,
 ) -> LWE:
     """Rotate each lane's own test vector by its own phase, extract
     coefficient 0, switch Q->r. Returns an (M, n)/(M,) LWE batch."""
@@ -170,7 +171,8 @@ def _rotate_extract(
     b_acc = ntt_mod.ntt_inv(plan, ntt_mod.monomial_mul_hat(plan, t0, shift))
     a_acc = jnp.zeros((M, params.num_limbs, m), dtype=jnp.uint32)
     a_acc, b_acc = blind_rotate(
-        params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc, flat_key, fused
+        params, ctx, bkey_hat, bkey_shoup, ua, a_acc, b_acc, flat_key, fused,
+        prune,
     )
     p = plan.p
     a_q = pol.extract(a_acc, 0, n, p)            # (M, L, n)
@@ -182,7 +184,7 @@ def _rotate_extract(
     return LWE(a_r, b_r)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7))
+@partial(jax.jit, static_argnums=(0, 6, 7, 9))
 def _bootstrap_jit(
     params: Params,
     ctx: Scheme2Context,
@@ -193,6 +195,7 @@ def _bootstrap_jit(
     randomized: bool = False,
     fused: tuple[str, bool] = ("none", False),
     flat_key=None,
+    prune: int = 0,
 ):
     B = lwe_u.a.shape[0]
     F = t_hats.shape[0]
@@ -202,7 +205,7 @@ def _bootstrap_jit(
     t0 = jnp.tile(t_hats, (B, 1, 1))             # (B*F, L, m)
     fk = flat_key if randomized else None
     out = _rotate_extract(
-        params, ctx, bkey_hat, bkey_shoup, ua, ub, t0, fk, fused
+        params, ctx, bkey_hat, bkey_shoup, ua, ub, t0, fk, fused, prune
     )
     n = params.n
     return LWE(out.a.reshape(B, F, n), out.b.reshape(B, F))
@@ -215,17 +218,27 @@ def bootstrap(
     lwe_u: LWE,
     t_hats: jax.Array,
     flat_key=None,
+    epoch: "int | None" = None,
+    prune: int = 0,
 ) -> LWE:
     """Evaluate F functions of the phase of `lwe_u` in one batched rotation.
 
     lwe_u: LWE batch (B, n)/(B,) mod r whose phase is z·Dr + w.
     t_hats: (F, L, m) from `tables_hat`. Returns LWE of shape (B, F, n)/(B, F)
     — out[:, f] encrypts f-th function of z, each a fresh scheme-2
-    ciphertext (noise reset by the bootstrap)."""
+    ciphertext (noise reset by the bootstrap).
+
+    Randomized mode folds a fresh per-call epoch into flat_key by default —
+    repeated calls with the same key draw disjoint mask streams (ops/prg.py);
+    pin `epoch` for reproducibility."""
+    from ..ops import prg
+
     fused = _use_fused(params)
+    if flat_key is not None:
+        flat_key = prg.fold_epoch(flat_key, epoch)
     return _bootstrap_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, lwe_u, t_hats,
-        flat_key is not None, fused, flat_key,
+        flat_key is not None, fused, flat_key, prune,
     )
 
 
@@ -247,6 +260,8 @@ def add_with_carry(
     lwe2: LWE,
     carry: LWE | None = None,
     flat_key=None,
+    epoch: "int | None" = None,
+    prune: int = 0,
 ) -> tuple[LWE, LWE]:
     """k-bit addition with carry (eprint 2019/521's headline operation):
     digit = (x + y + c) mod 2^k and carry-out = (x + y + c) ≥ 2^k, both as
@@ -260,7 +275,7 @@ def add_with_carry(
     digit_tab = [z % 2**k for z in range(zmax)]
     carry_tab = [1 if z >= 2**k else 0 for z in range(zmax)]
     th = tables_hat(params, ctx, [digit_tab, carry_tab])
-    out = bootstrap(params, ctx, bkey, u, th, flat_key)
+    out = bootstrap(params, ctx, bkey, u, th, flat_key, epoch, prune)
     digit = LWE(out.a[:, 0], out.b[:, 0])
     cout = LWE(out.a[:, 1], out.b[:, 1])
     return digit, cout
@@ -273,6 +288,8 @@ def apply_lut(
     lwe: LWE,
     lut,
     flat_key=None,
+    epoch: "int | None" = None,
+    prune: int = 0,
 ) -> LWE:
     """Arbitrary unary digit function f: [0, 2^k) -> [0, 2^k) via one
     rotation (the functional/programmable bootstrap of eprint 2019/521 §5).
@@ -282,7 +299,7 @@ def apply_lut(
     lut = list(lut)
     assert len(lut) == 2**k
     th = tables_hat(params, ctx, [lut + lut])
-    out = bootstrap(params, ctx, bkey, lwe, th, flat_key)
+    out = bootstrap(params, ctx, bkey, lwe, th, flat_key, epoch, prune)
     return LWE(out.a[:, 0], out.b[:, 0])
 
 
@@ -292,10 +309,11 @@ def refresh(
     bkey: BootstrapKey,
     lwe: LWE,
     flat_key=None,
+    epoch: "int | None" = None,
 ) -> LWE:
     """Noise reset: identity LUT (the plain 2019/521 bootstrap)."""
     return apply_lut(
-        params, ctx, bkey, lwe, list(range(2**params.k)), flat_key
+        params, ctx, bkey, lwe, list(range(2**params.k)), flat_key, epoch
     )
 
 
@@ -333,6 +351,7 @@ def mul(
     lwe1: LWE,
     lwe2: LWE,
     flat_key=None,
+    epoch: "int | None" = None,
 ) -> tuple[LWE, LWE]:
     """k-bit digit multiplication: x·y -> (low digit, high digit), both
     REFRESHED ciphertexts.
@@ -359,9 +378,13 @@ def mul(
     mask = jnp.uint32(params.mask_r)
     n = params.n
     B = lwe1.a.shape[0]
+    from ..ops import prg
+
     fused = _use_fused(params)
     if flat_key is not None:
-        fk1, fk2, fk3 = jax.random.split(flat_key, 3)
+        # one epoch per public call; the three rotation rounds then split
+        # the folded key into disjoint subkeys
+        fk1, fk2, fk3 = jax.random.split(prg.fold_epoch(flat_key, epoch), 3)
     else:
         fk1 = fk2 = fk3 = None
     randomized = flat_key is not None

@@ -139,3 +139,28 @@ class Params:
     @property
     def mask_r(self) -> int:
         return self.r - 1
+
+
+def prune_error_bound(params, prune: int) -> float:
+    """Worst-case post-rescale phase noise (in Z_r units) added to one
+    bootstrap by approximate-gadget digit pruning (dropping the `prune`
+    lowest mixed-radix digits, ops/rns.flatten(prune=...)).
+
+    Derivation (docs/theory.md "Approximate gadget"): the kept digits
+    reconstruct acc - eps with |eps|_inf <= sum_{i<prune} w_i s_i
+    (s_i = (p_i-1)/2; in randomized mode the pruned digits are unmasked, so
+    the same bound holds). Step k of the blind rotation then adds
+    (x^{u_k} - 1) * s_k * eps_k to the accumulator — infinity norm at most
+    2*|eps| (two monomial shifts, s_k in {0,1}) — and later steps only
+    multiply by monomials (norm-preserving), so the rotation output carries
+    at most 2*n*|eps| extra, which the exact Q->r switch scales by r/Q.
+
+    Works for scheme-1 `Params` and scheme-2 `Params` alike (both expose n,
+    r, moduli, Q; both rotations run n steps). Callers must keep this far
+    inside the decision budget — the dispatchers assert < Dr/16."""
+    eps = 0
+    w = 1
+    for p in params.moduli[:prune]:
+        eps += w * ((p - 1) // 2)
+        w *= p
+    return 2 * params.n * eps * params.r / params.Q

@@ -411,13 +411,22 @@ def _encrypt_private_kernel(params: Params, s_bits, key, message):
     return u, a, b
 
 
-def encrypt(key_obj, key: jax.Array, message: jax.Array):
-    """Private- or public-key encryption of n bits -> PackedCiphertext
-    (reference src/fhe.jl:369-372 / 459-461)."""
+def encrypt(key_obj, *args):
+    """Private- or public-key encryption of n bits -> PackedCiphertext,
+    uniform over key types like the reference's `encrypt`
+    (src/fhe.jl:369-372 / 459-461):
+
+        encrypt(sk, key, message)       # PrivateKey
+        encrypt(pk, ctx, key, message)  # PublicKey (needs the NTT context)
+    """
     if isinstance(key_obj, PrivateKey):
+        key, message = args
         _, rlwe = _encrypt_private(key_obj, key, message)
         return PackedCiphertext(key_obj.params, rlwe)
-    raise TypeError("public-key encrypt requires (pk, ctx); use encrypt_public")
+    if isinstance(key_obj, PublicKey):
+        ctx, key, message = args
+        return encrypt_public(key_obj, ctx, key, message)
+    raise TypeError(f"encrypt expects a PrivateKey or PublicKey, got {type(key_obj)}")
 
 
 def encrypt_public(

@@ -296,7 +296,7 @@ def _ntt_inv_lazy(x, post, post_s, inv, inv_s, p, mu, c_in: int,
 
 
 def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
-                    L: int, moduli: tuple, rnd):
+                    L: int, moduli: tuple, rnd, prune: int = 0):
     """In-kernel RANDOMIZED flatten (mirrors ops/rns.flatten_random): mask
     each digit with an exactly-uniform draw from [-2^k, 2^k) (2^k >= 3*s_i,
     ops/rns.mask_window_bits), deterministically flatten the unmasked
@@ -325,10 +325,12 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
 
     masks = []
     rand_x = x
-    w_int = 1  # gadget weight w_i = prod_{j<i} p_j as a Python int
-    for i in range(L):
-        if i:
-            w_int *= moduli[i - 1]
+    # pruned digits are never output -> no privacy mask (mirrors
+    # ops/rns.flatten_random: word i still addresses digit i)
+    for i in range(prune, L):
+        w_int = 1  # gadget weight w_i = prod_{j<i} p_j as a Python int
+        for j in range(i):
+            w_int *= moduli[j]
         k_bits = mask_window_bits(moduli[i])
         v = words[i] & np.uint32((1 << (k_bits + 1)) - 1)
         # embed (v - 2^k) into every limb, and subtract mask_i * w_i from
@@ -349,12 +351,12 @@ def _flatten_rand_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
         masks.append(e)
         rand_x = mm.submod(rand_x, jnp.stack(contrib_limbs), p)
     digs = _flatten_k(rand_x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset,
-                      L, moduli)
+                      L, moduli, prune)
     return [mm.addmod(d, mk, p) for d, mk in zip(digs, masks)]
 
 
 def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int,
-               moduli: tuple):
+               moduli: tuple, prune: int = 0):
     """In-kernel mixed-radix balanced flatten (mirrors ops/rns.flatten) in the
     limb-major layout: x (L, m1, T, m2) -> list of L digits, each (L, m1, T,
     m2). p, mu, offset: (L, 1, 1, 1); s_mod: (L, L, 1, 1, 1); inv tables
@@ -388,8 +390,8 @@ def _flatten_k(x, p, mu, inv_pj_val, inv_pj_shoup, s_mod, offset, L: int,
             t = mm.shoup_mul(t, inv_pj_val[i, j], inv_pj_shoup[i, j], pi)
         digits.append(t)
     out = []
-    for i in range(L):
-        d = digits[i][None]  # (1, m1, T, m2), canonical mod p_i
+    for i in range(prune, L):  # pruned digits: extracted (chain needs them
+        d = digits[i][None]    # to peel) but never embedded/returned
         if close:
             e = jnp.where(d >= p, d - p, d)  # (L, m1, T, m2)
         else:
@@ -405,7 +407,7 @@ def _rotate_body(
     p, mu, ipj, ipj_s, smod, off,
     *, l: int, L: int, m1: int, m2: int, p_max: int,
     randomized: bool = False, moduli: tuple = (), rnd=None,
-    wval=None, wshoup=None,
+    wval=None, wshoup=None, prune: int = 0,
 ):
     """One blind-rotation step on a batch tile.
 
@@ -426,16 +428,25 @@ def _rotate_body(
 
     Returns (a_acc', b_acc', t_a', t_b'), all canonical.
     """
+    lk = l - prune  # kept digits per operand (approximate gadget: the
+    # `prune` lowest mixed-radix rows are dropped; see models/params.
+    # prune_error_bound for the admitted noise). Key row for kept-digit row
+    # r is (prune + r) within each operand's l-row block.
+    assert 0 <= prune < l
+    assert prune == 0 or t_a is None, (
+        "hat-carry T-term represents the UNpruned accumulator; pruned mode "
+        "must compute T over the kept digits (wval path)"
+    )
     if randomized:
         seed, step_k, gate_off = rnd
         da = _flatten_rand_k(a_acc, p, mu, ipj, ipj_s, smod, off, L, moduli,
-                             (seed, step_k, 0, gate_off))
+                             (seed, step_k, 0, gate_off), prune)
         db = _flatten_rand_k(b_acc, p, mu, ipj, ipj_s, smod, off, L, moduli,
-                             (seed, step_k, 1, gate_off))
+                             (seed, step_k, 1, gate_off), prune)
     else:
-        da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L, moduli)
-        db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L, moduli)
-    digits = jnp.stack(da + db, axis=0)  # (2l, L, m1, T, m2)
+        da = _flatten_k(a_acc, p, mu, ipj, ipj_s, smod, off, L, moduli, prune)
+        db = _flatten_k(b_acc, p, mu, ipj, ipj_s, smod, off, L, moduli, prune)
+    digits = jnp.stack(da + db, axis=0)  # (2lk, L, m1, T, m2)
     d_hat, _ = _ntt_fwd_lazy(digits, fwd, fwd_s, p, mu, p_max, m1, m2)
 
     outs = []
@@ -445,9 +456,11 @@ def _rotate_body(
         # whenever the tracked bound would overflow uint32 (this fires at
         # l = 3 with ~29-bit limbs, where 12*p_max > 2^32 — Params(1024))
         s_acc, cs = None, 0
-        for row in range(2 * l):
+        for row in range(2 * lk):
+            krow = prune + row if row < lk else l + prune + (row - lk)
             prod = mm.shoup_mul_lazy(
-                d_hat[row], ck[row, c][:, :, None, :], cks[row, c][:, :, None, :],
+                d_hat[row], ck[krow, c][:, :, None, :],
+                cks[krow, c][:, :, None, :],
                 p,
             )
             if s_acc is None:
@@ -462,9 +475,11 @@ def _rotate_body(
             t_acc, ct = t_carry, 1  # canonical hat carried from last step
         else:
             t_acc, ct = None, 0
-            for i in range(l):
-                row = i if c == 0 else l + i
-                wprod = mm.shoup_mul_lazy(d_hat[row], wval[i], wshoup[i], p)
+            for i in range(lk):
+                row = i if c == 0 else lk + i
+                wprod = mm.shoup_mul_lazy(
+                    d_hat[row], wval[prune + i], wshoup[prune + i], p
+                )
                 if t_acc is None:
                     t_acc, ct = wprod, 2
                 else:
@@ -531,13 +546,17 @@ def _rotate_kernel(
     fwd_ref, fwd_s_ref, inv_ref, inv_s_ref,
     mono_ref, mono_s_ref,
     p_ref, mu_ref, ipj_ref, ipj_s_ref, smod_ref, off_ref,
-    seed_ref,
+    wval_ref, wshoup_ref, seed_ref,
     # outputs
     a_out_ref, b_out_ref,
     *, n: int, l: int, L: int, m1: int, m2: int, p_max: int,
-    randomized: bool = False, moduli: tuple = (),
+    randomized: bool = False, moduli: tuple = (), prune: int = 0,
 ):
-    """Resident kernel: whole bootstrap key in VMEM, fori_loop over steps."""
+    """Resident kernel: whole bootstrap key in VMEM, fori_loop over steps.
+
+    prune > 0 (approximate gadget) computes the T-term by w-multiplies over
+    the kept digits instead of the hat-carry (which represents the UNpruned
+    accumulator)."""
     tile = a0_ref.shape[2]
     gate_off = (pl.program_id(0) * jnp.int32(tile)).astype(jnp.uint32)
     seed = (seed_ref[0, 0], seed_ref[0, 1])
@@ -550,6 +569,9 @@ def _rotate_kernel(
         mono_s=mono_s_ref[:], p=p, mu=mu, ipj=ipj_ref[:], ipj_s=ipj_s_ref[:],
         smod=smod_ref[:], off=off_ref[:],
     )
+    if prune:
+        consts["wval"] = wval_ref[:]
+        consts["wshoup"] = wshoup_ref[:]
 
     def hat_of(x):  # canonical hat of a coefficient-domain accumulator
         h, _ = _ntt_fwd_lazy(
@@ -565,14 +587,15 @@ def _rotate_kernel(
         return _rotate_body(
             a_acc, b_acc, t_a, t_b, ck, cks, u_k, **consts,
             l=l, L=L, m1=m1, m2=m2, p_max=p_max,
-            randomized=randomized, moduli=moduli,
+            randomized=randomized, moduli=moduli, prune=prune,
             rnd=(seed, k, gate_off),
         )
 
     a0 = a0_ref[:]
     b0 = b0_ref[:]
+    init_t = (None, None) if prune else (hat_of(a0), hat_of(b0))
     a_acc, b_acc, _, _ = jax.lax.fori_loop(
-        0, n, step, (a0, b0, hat_of(a0), hat_of(b0))
+        0, n, step, (a0, b0) + init_t
     )
     a_out_ref[:] = a_acc
     b_out_ref[:] = b_acc
@@ -592,7 +615,7 @@ def _rotate_step_kernel(
     # HBM writeback until the last step
     a_s, b_s,
     *, n: int, l: int, L: int, m1: int, m2: int, p_max: int,
-    randomized: bool = False, moduli: tuple = (),
+    randomized: bool = False, moduli: tuple = (), prune: int = 0,
 ):
     """One blind-rotation step per grid point (t, k): the key-index axis k is
     a GRID dimension, so Pallas streams the (1, 2l, 2, L, m1, m2) bootstrap-
@@ -621,7 +644,7 @@ def _rotate_step_kernel(
         mono_ref[:], mono_s_ref[:],
         p, mu, ipj_ref[:], ipj_s_ref[:], smod_ref[:], off_ref[:],
         l=l, L=L, m1=m1, m2=m2, p_max=p_max,
-        randomized=randomized, moduli=moduli,
+        randomized=randomized, moduli=moduli, prune=prune,
         rnd=((seed_ref[0, 0], seed_ref[0, 1]), k, gate_off),
         wval=wval_ref[:], wshoup=wshoup_ref[:],
     )
@@ -735,11 +758,15 @@ def _pad_batch(tile, ua, a0, b0):
 def blind_rotate_fused(
     params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
     tile: int | None = None, interpret: bool = False, seed=None,
+    prune: int = 0,
 ):
     """Full n-step blind rotation, bootstrap key VMEM-resident (grid over
     batch tiles only). ua: (B, n) mod-r exponents; a0, b0: (B, L, m).
     seed: optional (1, 2) int32 (two key words) — enables randomized
-    flattening with in-kernel PRNG masks. Returns (a_acc, b_acc) of shape (B, L, m)."""
+    flattening with in-kernel PRNG masks. prune: approximate-gadget digit
+    pruning (drop the `prune` lowest digit rows — models/params.
+    prune_error_bound documents the admitted noise).
+    Returns (a_acc, b_acc) of shape (B, L, m)."""
     n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
     m1, m2 = _split_m(m)
     B = ua.shape[0]
@@ -761,7 +788,8 @@ def blind_rotate_fused(
         seed = jnp.zeros((1, 2), jnp.int32)
     p_max = max(params.moduli)
     kernel = partial(_rotate_kernel, n=n, l=l, L=L, m1=m1, m2=m2,
-                     p_max=p_max, randomized=randomized, moduli=params.moduli)
+                     p_max=p_max, randomized=randomized, moduli=params.moduli,
+                     prune=prune)
     out_shape = [
         jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),
         jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),
@@ -774,7 +802,7 @@ def blind_rotate_fused(
         acc_spec(),     # b0
         full(),         # bkey (resident)
         full(),
-    ] + [full()] * 14 + [
+    ] + [full()] * 16 + [
         pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM)
     ]
     out_specs = [acc_spec(), acc_spec()]
@@ -794,6 +822,8 @@ def blind_rotate_fused(
         bkey_hat.reshape(n, 2 * l, 2, L, m1, m2),
         bkey_shoup.reshape(n, 2 * l, 2, L, m1, m2),
         *_common_operands(params, ctx),
+        ctx.rns.w_val[:, :, :, None, None],
+        ctx.rns.w_shoup[:, :, :, None, None],
         seed,
     )
     a_acc = _from_kernel_layout(a_lm, L, m1, m2)
@@ -807,11 +837,12 @@ def blind_rotate_fused(
 def blind_rotate_streamed(
     params, ctx, bkey_hat, bkey_shoup, ua, a0, b0, *,
     tile: int | None = None, interpret: bool = False, seed=None,
+    prune: int = 0,
 ):
     """Blind rotation with the bootstrap key STREAMED from HBM (grid axis over
     key steps, Pallas double-buffers the per-step slice). Works at any n.
     seed: optional (1, 2) int32 (two key words) — enables in-kernel
-    randomized flattening."""
+    randomized flattening. prune: approximate-gadget digit pruning."""
     n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
     m1, m2 = _split_m(m)
     B = ua.shape[0]
@@ -835,7 +866,7 @@ def blind_rotate_streamed(
     p_max = max(params.moduli)
     kernel = partial(
         _rotate_step_kernel, n=n, l=l, L=L, m1=m1, m2=m2, p_max=p_max,
-        randomized=randomized, moduli=params.moduli,
+        randomized=randomized, moduli=params.moduli, prune=prune,
     )
     out_shape = [
         jax.ShapeDtypeStruct((L, m1, padded, m2), jnp.uint32),

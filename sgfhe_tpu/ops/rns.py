@@ -164,7 +164,7 @@ def neg(ctx: RnsContext, a):
     return mm.negmod(a, ctx.p)
 
 
-def flatten(ctx: RnsContext, x: jax.Array) -> jax.Array:
+def flatten(ctx: RnsContext, x: jax.Array, prune: int = 0) -> jax.Array:
     """Balanced mixed-radix gadget decomposition (deterministic `flatten`).
 
     x: (..., L, m) residues of values in [0, Q).
@@ -173,11 +173,19 @@ def flatten(ctx: RnsContext, x: jax.Array) -> jax.Array:
     Satisfies sum_i w_i * digit_i == x (mod Q) exactly — the reference's
     reconstruction property (test/internals.test.jl:50-112) with digit bound
     |d_i| <= (p_i-1)/2 (analog of the (-B/2, B/2] range, src/utils.jl:150-154).
-    """
+
+    prune > 0 drops the `prune` LOWEST digits (approximate gadget
+    decomposition, the TFHE-style digit-pruning optimization): only digits
+    i in [prune, L) are returned, satisfying
+    sum_{i>=prune} w_i * digit_i == x - eps (mod Q) with
+    |eps| <= sum_{i<prune} w_i * s_i — see models/params.prune_error_bound
+    for the post-rescale noise this admits (docs/theory.md)."""
     L = ctx.p.shape[0]
     # shift by the offset so unsigned mixed-radix digits become balanced
     y = mm.addmod(x, ctx.offset, ctx.p)
     # mixed-radix extraction: digits as plain uint32 (value of d_i in [0, p_i))
+    # — the lowest digits are still EXTRACTED under pruning (the chain peels
+    # them to reach the kept digits); only their embedding is skipped.
     digits = []
     for i in range(L):
         t = y[..., i, :]
@@ -190,9 +198,9 @@ def flatten(ctx: RnsContext, x: jax.Array) -> jax.Array:
             t = mm.submod(t, dj_mod_pi, pi)
             t = mm.shoup_mul(t, ctx.inv_pj_val[i, j], ctx.inv_pj_shoup[i, j], pi)
         digits.append(t)
-    # embed each digit into all limbs and subtract the balancing offset s_i
+    # embed each kept digit into all limbs, subtract the balancing offset s_i
     out = []
-    for i in range(L):
+    for i in range(prune, L):
         d = digits[i][..., None, :]  # (..., 1, m), canonical mod p_i
         if ctx.close_primes:
             e = jnp.where(d >= ctx.p, d - ctx.p, d)  # (..., L, m)
@@ -200,7 +208,7 @@ def flatten(ctx: RnsContext, x: jax.Array) -> jax.Array:
             e = mm.mod_u32(d, ctx.p, ctx.mu)
         e = mm.submod(e, ctx.s_mod[i], ctx.p)
         out.append(e)
-    return jnp.stack(out, axis=-3)  # (..., L_digits, L, m)
+    return jnp.stack(out, axis=-3)  # (..., L_digits - prune, L, m)
 
 
 def mask_window_bits(p: int) -> int:
@@ -244,6 +252,7 @@ def flatten_random(
     op: int = 0,
     gate_offset=0,
     c0=None,
+    prune: int = 0,
 ) -> jax.Array:
     """Randomized gadget decomposition (reference src/utils.jl:198-241).
 
@@ -278,7 +287,10 @@ def flatten_random(
     words = mask_words(seed2, c0, step, op, L)
     masks = []
     rand_x = x
-    for i in range(L):
+    # pruned digits are never output, so they need no privacy mask: only
+    # digits i >= prune are masked (word i still addresses digit i, keeping
+    # the documented stream coordinates identical across prune settings)
+    for i in range(prune, L):
         k_bits = mask_window_bits(moduli[i])
         v = words[i] & jnp.uint32((1 << (k_bits + 1)) - 1)
         # uniform in [0, 2^{k+1}); value - 2^k is the signed mask.
@@ -293,7 +305,7 @@ def flatten_random(
         # rand_x -= mask * w_i
         contrib = mm.shoup_mul(e, ctx.w_val[i], ctx.w_shoup[i], ctx.p)
         rand_x = mm.submod(rand_x, contrib, ctx.p)
-    y = flatten(ctx, rand_x)  # (..., L, L, m)
+    y = flatten(ctx, rand_x, prune)  # (..., L - prune, L, m)
     return mm.addmod(y, jnp.stack(masks, axis=-3), ctx.p)
 
 

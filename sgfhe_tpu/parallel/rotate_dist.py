@@ -307,11 +307,14 @@ def blind_rotate_dist(
 
 def bootstrap_internal_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-    a1, b1, a2, b2, axis: str = "tp",
+    a1, b1, a2, b2, axis: str = "tp", flat_key=None,
 ):
     """Gate bootstrap (blind rotation + AND/OR/XOR extraction) on the
     tp-sharded rotation — the production entry for keys that span chips
-    (mirrors models/bootstrap.bootstrap_internal, src/fhe.jl:559-595)."""
+    (mirrors models/bootstrap.bootstrap_internal, src/fhe.jl:559-595).
+    flat_key: optional PRNG key for randomized flattening (same documented
+    Threefry stream as the single-device path, so outputs stay bit-identical
+    to bootstrap_internal in both modes)."""
     from ..ops import poly as pol
     from ..ops import ntt as ntt_mod2
 
@@ -344,6 +347,28 @@ def bootstrap_internal_dist(
     a_xor = mm.submod(a_or, a_and, p)
     b_xor = mm.submod(b_or, b_and, p[:, 0])
     return (a_and, b_and), (a_or, b_or), (a_xor, b_xor)
+
+
+def bootstrap_batch_tp(
+    params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
+    lwe1, lwe2, axis: str = "tp", flat_key=None, epoch: "int | None" = None,
+):
+    """Batched scheme-1 gate bootstrap over the tp-sharded rotation,
+    returning (AND, OR, XOR) LWE batches mod r — the public tensor-parallel
+    twin of models/bootstrap.bootstrap_batch for bootstrap keys that span
+    chips (reference hot loop src/fhe.jl:559-621). Bit-identical to the
+    single-device bootstrap_batch in both flattening modes
+    (tests/test_rotate_dist.py)."""
+    from ..models import bootstrap as bs
+    from ..ops import prg
+
+    if flat_key is not None:
+        flat_key = prg.fold_epoch(flat_key, epoch)
+    triple = bootstrap_internal_dist(
+        params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
+        lwe1.a, lwe1.b, lwe2.a, lwe2.b, axis=axis, flat_key=flat_key,
+    )
+    return tuple(bs._reduce_lwe(params, ctx, t) for t in triple)
 
 
 def rotate_extract_dist(
@@ -382,11 +407,18 @@ def rotate_extract_dist(
 def bootstrap2_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
     lwe_u, t_hats, axis: str = "tp", flat_key=None,
+    epoch: "int | None" = None,
 ):
     """Scheme-2 functional bootstrap over the tp-sharded rotation: evaluate
     F functions of each lane's phase (models/bootstrap2.bootstrap with the
-    key spanning the mesh)."""
+    key spanning the mesh). Folds a per-call epoch into flat_key exactly
+    like the single-device entry (ops/prg.py), so dist == single-device
+    bit-for-bit at the same (flat_key, epoch)."""
     from ..models.scheme1 import LWE
+    from ..ops import prg
+
+    if flat_key is not None:
+        flat_key = prg.fold_epoch(flat_key, epoch)
 
     B = lwe_u.a.shape[0]
     Fn = t_hats.shape[0]
@@ -404,6 +436,7 @@ def bootstrap2_dist(
 def add_with_carry_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
     lwe1, lwe2, carry=None, axis: str = "tp", flat_key=None,
+    epoch: "int | None" = None,
 ):
     """k-bit add-with-carry through the sharded rotation — one rotation pass,
     digit and carry as adjacent lanes (models/bootstrap2.add_with_carry)."""
@@ -422,7 +455,7 @@ def add_with_carry_dist(
     th = bs2.tables_hat(params, ctx, [digit_tab, carry_tab])
     out = bootstrap2_dist(
         params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup, u, th,
-        axis=axis, flat_key=flat_key,
+        axis=axis, flat_key=flat_key, epoch=epoch,
     )
     digit = LWE(out.a[:, 0], out.b[:, 0])
     cout = LWE(out.a[:, 1], out.b[:, 1])

@@ -88,6 +88,13 @@ _T_S2_CIPHERTEXT = 9   # scheme-2 (a, b) digit-polynomial pair mod r
 _T_S2_LWE = 10         # scheme-2 digit LWE batch (split/bootstrap outputs)
 _T_BKEY_SEEDED = 11    # bootstrap key as (PRNG seed, b-column) — both schemes
 
+# Current a-column regeneration stream per scheme (see
+# bootstrap_key_to_wire_seeded): scheme 1 has always drawn one-shot from the
+# seed (stream 1); scheme 2 moved to the chunked fold_in draw in round 4
+# (stream 2) — pre-chunking scheme-2 frames must be rejected, not silently
+# regenerated wrong.
+_SEED_STREAM = {1: 1, 2: 2}
+
 
 def _frame(type_code: int, meta: dict, payload: bytes) -> bytes:
     mb = json.dumps(meta, sort_keys=True).encode()
@@ -248,7 +255,16 @@ def bootstrap_key_to_wire_seeded(bkey) -> bytes:
     seed = np.asarray(bkey.seed, dtype=np.uint32)
     b_hat = np.asarray(bkey.hat[:, :, 1])
     payload = seed.tobytes() + native.pack_uint(b_hat.reshape(-1), w)
-    meta = {"scheme": scheme, "n": p.n, "seedwords": int(seed.size)}
+    # "stream" versions the a-column regeneration recipe: a seeded frame is
+    # only as good as the PRNG stream that rebuilds its a-column, so a
+    # stream change MUST fail loudly at load time instead of silently
+    # regenerating a mismatched key (decrypt-garbage with no error).
+    # Scheme-2 stream 2 = the chunked draw (chunk c <- fold_in(k_a, c),
+    # BootstrapKey.KEY_CHUNK); stream 1 was the pre-chunking one-shot draw.
+    meta = {
+        "scheme": scheme, "n": p.n, "seedwords": int(seed.size),
+        "stream": _SEED_STREAM[scheme],
+    }
     if scheme == 2:
         meta["k"] = p.k
     return _frame(_T_BKEY_SEEDED, meta, payload)
@@ -262,7 +278,18 @@ def from_wire(raw: bytes, ctx=None):
     without it a fresh context is built from the frame's params)."""
     type_code, meta, payload = _unframe(raw)
     if type_code == _T_BKEY_SEEDED:
-        if meta.get("scheme", 1) == 2:
+        scheme = meta.get("scheme", 1)
+        stream = meta.get("stream", 1)
+        if stream != _SEED_STREAM[scheme]:
+            raise ValueError(
+                f"seeded bootstrap-key frame uses a-column stream version "
+                f"{stream}, but this build regenerates stream "
+                f"{_SEED_STREAM[scheme]} for scheme {scheme} — loading would "
+                f"silently rebuild a mismatched key. Re-export the key from "
+                f"a build that writes stream {_SEED_STREAM[scheme]}, or use "
+                f"the full (non-seeded) wire format."
+            )
+        if scheme == 2:
             prm = s2.Params.create(meta["k"], n=meta["n"])
             mod = s2
             c = ctx if ctx is not None else s2.make_context(prm)

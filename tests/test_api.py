@@ -68,6 +68,11 @@ def test_public_roundtrip_512(setup512):
     msg = _random_bits(6, params.n)
     ct = F.encrypt_public(pk, ctx, jax.random.key(7), jnp.asarray(msg))
     assert (np.asarray(F.decrypt(sk, ct)) == msg).all()
+    # uniform dispatch over key types, like the reference's `encrypt`
+    # (src/fhe.jl:369-372 / 459-461)
+    ct2 = F.encrypt(pk, ctx, jax.random.key(7), jnp.asarray(msg))
+    np.testing.assert_array_equal(np.asarray(ct.rlwe.a), np.asarray(ct2.rlwe.a))
+    np.testing.assert_array_equal(np.asarray(ct.rlwe.b), np.asarray(ct2.rlwe.b))
 
 
 def test_public_optimal_roundtrip_512(setup512):
@@ -121,6 +126,41 @@ def test_bootstrap_deterministic_reproducible(setup64):
     for l1, l2 in zip(r1, r2):
         np.testing.assert_array_equal(np.asarray(l1.a), np.asarray(l2.a))
         np.testing.assert_array_equal(np.asarray(l1.b), np.asarray(l2.b))
+
+
+def test_randomized_mask_epoch(setup64):
+    """Mask-replay hazard (round-4 weak-4): two public bootstrap_batch calls
+    with the SAME flat_key must draw DISTINCT mask streams (auto epoch);
+    pinning `epoch` restores bit-reproducibility."""
+    params, ctx, sk, bkey = setup64
+    msg = _random_bits(41, params.n)
+    ct = F.encrypt(sk, jax.random.key(42), jnp.asarray(msg))
+    bits = F.split_ciphertext(ct)
+    lwe1 = F.LWE(bits.lwe.a[0:8:2], bits.lwe.b[0:8:2])
+    lwe2 = F.LWE(bits.lwe.a[1:8:2], bits.lwe.b[1:8:2])
+    fk = jax.random.key(43)
+    r1 = F.bootstrap_batch(
+        params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2, fk, True
+    )
+    r2 = F.bootstrap_batch(
+        params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2, fk, True
+    )
+    assert not (np.asarray(r1[0].a) == np.asarray(r2[0].a)).all()
+    # both still decrypt to the same (correct) gate outputs
+    e = msg[0:8:2] & msg[1:8:2]
+    for r in (r1, r2):
+        got = np.asarray(F.decrypt_bit(sk, F.EncryptedBit(r[0])))
+        np.testing.assert_array_equal(got, e)
+    # pinned epoch -> reproducible
+    r3 = F.bootstrap_batch(
+        params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2, fk, True, epoch=3
+    )
+    r4 = F.bootstrap_batch(
+        params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2, fk, True, epoch=3
+    )
+    for l3, l4 in zip(r3, r4):
+        np.testing.assert_array_equal(np.asarray(l3.a), np.asarray(l4.a))
+        np.testing.assert_array_equal(np.asarray(l3.b), np.asarray(l4.b))
 
 
 @pytest.mark.parametrize("randomized", [False, True], ids=["det", "rand"])

@@ -150,11 +150,39 @@ def test_randomized_flattening(toy_k1):
     z = x[:8] + y[:8]
     np.testing.assert_array_equal(np.asarray(bs2.decrypt_lwe(sk, digit)), z % 2**k)
     np.testing.assert_array_equal(np.asarray(bs2.decrypt_lwe(sk, carry)), z // 2**k)
-    # deterministic given the key; differs from the deterministic path
+    # same key, no pinned epoch -> a FRESH mask stream per public call
+    # (ops/prg.fold_epoch, the round-4 replay-hazard fix): outputs differ
     d2, _ = bs2.add_with_carry(params, ctx, bkey, lx, ly, flat_key=fk)
-    np.testing.assert_array_equal(np.asarray(digit.a), np.asarray(d2.a))
+    assert not (np.asarray(digit.a) == np.asarray(d2.a)).all()
+    np.testing.assert_array_equal(np.asarray(bs2.decrypt_lwe(sk, d2)), z % 2**k)
+    # reproducible when the epoch is pinned; still differs from deterministic
+    d3, _ = bs2.add_with_carry(params, ctx, bkey, lx, ly, flat_key=fk, epoch=7)
+    d4, _ = bs2.add_with_carry(params, ctx, bkey, lx, ly, flat_key=fk, epoch=7)
+    np.testing.assert_array_equal(np.asarray(d3.a), np.asarray(d4.a))
     d_det, _ = bs2.add_with_carry(params, ctx, bkey, lx, ly)
-    assert not (np.asarray(digit.a) == np.asarray(d_det.a)).all()
+    assert not (np.asarray(d3.a) == np.asarray(d_det.a)).all()
+
+
+def test_pruned_add_with_carry(toy_k1):
+    """Approximate-gadget digit pruning on the scheme-2 functional bootstrap
+    (shared blind-rotation core): prune=1 must decrypt correctly with noise
+    inside the budget, and the analytic bound must be microscopic."""
+    from sgfhe_tpu.models.params import prune_error_bound
+
+    params, ctx, sk, bkey = toy_k1
+    k = params.k
+    assert prune_error_bound(params, 1) < 0.01
+    rng = np.random.default_rng(57)
+    x = rng.integers(0, 2**k, params.n)
+    y = rng.integers(0, 2**k, params.n)
+    lx = _take(_enc_lwes(params, sk, x, 90), slice(0, 16))
+    ly = _take(_enc_lwes(params, sk, y, 91), slice(0, 16))
+    digit, carry = bs2.add_with_carry(params, ctx, bkey, lx, ly, prune=1)
+    z = x[:16] + y[:16]
+    np.testing.assert_array_equal(np.asarray(bs2.decrypt_lwe(sk, digit)), z % 2**k)
+    np.testing.assert_array_equal(np.asarray(bs2.decrypt_lwe(sk, carry)), z // 2**k)
+    noise = np.asarray(bs2.lwe_phase_noise(sk, digit, jnp.asarray(z % 2**k)))
+    assert np.abs(noise).max() < params.Dr // 4
 
 
 @pytest.mark.parametrize("fixture", ["toy_k1", "toy_k2"])

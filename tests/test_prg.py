@@ -81,9 +81,11 @@ def test_matches_jax_internal_threefry():
     np.testing.assert_array_equal(ref, got)
 
 
-def test_avalanche_at_13_rounds():
-    """Sanity: flipping one counter bit flips ~half the output bits."""
-    y0, y1 = prg.threefry2x32(1, 2, 3, 4, rounds=13)
-    z0, z1 = prg.threefry2x32(1, 2, 3, 5, rounds=13)
+def test_avalanche_at_mask_rounds():
+    """Sanity: flipping one counter bit flips ~half the output bits at the
+    production round count (MASK_ROUNDS = 20, the Random123/JAX standard)."""
+    assert prg.MASK_ROUNDS == 20
+    y0, y1 = prg.threefry2x32(1, 2, 3, 4, rounds=prg.MASK_ROUNDS)
+    z0, z1 = prg.threefry2x32(1, 2, 3, 5, rounds=prg.MASK_ROUNDS)
     flips = bin((int(y0) ^ int(z0)) | ((int(y1) ^ int(z1)) << 32)).count("1")
     assert 16 <= flips <= 48

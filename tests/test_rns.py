@@ -93,6 +93,66 @@ def test_flatten_random_reconstruction_and_bounds():
     np.testing.assert_array_equal(digits, digits2)
 
 
+def _crt_signed(host, residues: np.ndarray) -> np.ndarray:
+    """Vectorized int64 CRT decode of (L, M) residues -> centered signed
+    values in (-Q/2, Q/2] (valid for any tiny-Q sweep set: all intermediate
+    products stay < 2^63)."""
+    M = residues.shape[-1]
+    acc = np.zeros(M, dtype=np.int64)
+    for i, p in enumerate(host.moduli):
+        qi = host.Q // p
+        ci = pr.inv_mod(qi, p)
+        acc = (acc + residues[i].astype(np.int64) * ((qi * ci) % host.Q)) % host.Q
+    return np.where(acc > host.Q // 2, acc - host.Q, acc)
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "mods",
+    [(641, 769), (11, 13, 61)],
+    ids=["close-2limb", "nonclose-3limb"],
+)
+def test_flatten_exhaustive_full_domain(mods):
+    """EVERY element of Z_Q through flatten and flatten_random for tiny
+    prime products (Q < 2^20) — the direct port of the reference's
+    exhaustive flatten sweep (test/internals.test.jl:50-112), covering both
+    the close-prime conditional-subtract path and the Barrett fallback.
+    Checks reconstruction sum_i w_i*d_i == x (mod Q) and the digit bounds
+    for all Q inputs in one jit call per mode."""
+    host = rns.build_context(mods)
+    ctx = host.device_context()
+    assert ctx.close_primes == pr.close_primes(mods)
+    Q = host.Q
+    assert Q < 1 << 20
+    xs = np.arange(Q, dtype=np.int64)
+    x_rns = np.stack([(xs % p).astype(np.uint32) for p in mods])  # (L, Q)
+
+    digits = np.asarray(jax.jit(rns.flatten)(ctx, jnp.asarray(x_rns)))
+    recon = np.zeros(Q, dtype=np.int64)
+    for i in range(host.L):
+        d = _crt_signed(host, digits[i])
+        s = (mods[i] - 1) // 2
+        assert int(np.abs(d).max()) <= s, (i, int(np.abs(d).max()), s)
+        recon += d * host.weights[i]
+    assert (recon % Q == xs).all()
+
+    seed2 = rns.seed_words(jax.random.key(29))
+    f_rand = jax.jit(
+        lambda c, x, s: rns.flatten_random(c, x, mods, s, jnp.uint32(0))
+    )
+    digits_r = np.asarray(f_rand(ctx, jnp.asarray(x_rns), seed2))
+    recon = np.zeros(Q, dtype=np.int64)
+    for i in range(host.L):
+        d = _crt_signed(host, digits_r[i])
+        bound = (1 << rns.mask_window_bits(mods[i])) + (mods[i] - 1) // 2
+        assert bound < 4 * mods[i]
+        assert int(np.abs(d).max()) <= bound
+        recon += d * host.weights[i]
+    assert (recon % Q == xs).all()
+
+
 def _boundary_cases(Q: int, new_max: int) -> list[int]:
     """Adversarial inputs: the x in [0, Q) closest to every rounding boundary
     q + 1/2 (and floor boundary q) of x*new_max/Q, from both sides."""

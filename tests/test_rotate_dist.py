@@ -169,6 +169,59 @@ def test_scheme2_add_with_carry_dist():
     np.testing.assert_array_equal(cc, s // 2)
 
 
+def test_scheme1_bootstrap_batch_tp():
+    """The scheme-1 twin of the scheme-2 dist test (round-4 VERDICT item 3):
+    FULL gate bootstrap with a real key through the tp-sharded rotation —
+    bootstrap_batch_tp must be bit-identical to the single-device
+    bootstrap_batch, decrypt to correct AND/OR/XOR truth tables, and
+    bootstrap_internal_dist must work in randomized mode too (the round-4
+    advisor-high NameError fix)."""
+    params = F.Params.create(64)
+    ctx = F.make_context(params)
+    key = jax.random.key(61)
+    k_sk, k_bk, k_m, k_e = jax.random.split(key, 4)
+    sk = F.PrivateKey.create(params, k_sk)
+    bkey = F.BootstrapKey.create(ctx, sk, k_bk)
+    msg = np.asarray(jax.random.bernoulli(k_m, 0.5, (params.n,)))
+    ct = F.encrypt(sk, k_e, jnp.asarray(msg))
+    bits = F.split_ciphertext(ct)
+    B = 8
+    lwe1 = F.LWE(bits.lwe.a[0 : 2 * B : 2], bits.lwe.b[0 : 2 * B : 2])
+    lwe2 = F.LWE(bits.lwe.a[1 : 2 * B : 2], bits.lwe.b[1 : 2 * B : 2])
+
+    ref = F.bootstrap_batch(params, ctx, bkey.hat, bkey.hat_shoup, lwe1, lwe2)
+
+    mesh = mesh_mod.make_mesh(dp=1, tp=8)
+    rplan = rd.build_rotation_plan(params.moduli, 16, 32)
+    hat_d, shoup_d = rd.bkey_to_dist(ctx, rplan, bkey.hat)
+    got = rd.bootstrap_batch_tp(
+        params, ctx, rplan, mesh, jnp.asarray(hat_d), jnp.asarray(shoup_d),
+        lwe1, lwe2,
+    )
+    y1, y2 = msg[0 : 2 * B : 2], msg[1 : 2 * B : 2]
+    expect = [y1 & y2, y1 | y2, y1 ^ y2]
+    for (r, g, e) in zip(ref, got, expect):
+        np.testing.assert_array_equal(np.asarray(r.a), np.asarray(g.a))
+        np.testing.assert_array_equal(np.asarray(r.b), np.asarray(g.b))
+        dec = np.asarray(F.decrypt_bit(sk, F.EncryptedBit(g)))
+        np.testing.assert_array_equal(dec, e)
+
+    # randomized mode: bootstrap_internal_dist (the internal entry takes the
+    # key as-is, so it must match bootstrap_internal bit-for-bit)
+    fk = jax.random.key(67)
+    trip_ref = bs.bootstrap_internal(
+        params, ctx, bkey.hat, bkey.hat_shoup, lwe1.a, lwe1.b, lwe2.a, lwe2.b,
+        fk, fused=("none", False),
+    )
+    trip_got = rd.bootstrap_internal_dist(
+        params, ctx, rplan, mesh, jnp.asarray(hat_d), jnp.asarray(shoup_d),
+        lwe1.a, lwe1.b, lwe2.a, lwe2.b, flat_key=fk,
+    )
+    for (ra, rb), (ga, gb) in zip(trip_ref, trip_got):
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(ga))
+        np.testing.assert_array_equal(np.asarray(rb), np.asarray(gb))
+
+
 def test_blind_rotate_dist_randomized_bit_exact():
     """Randomized flattening in the sharded rotation draws the same global
     Threefry counter stream as the single-device path: bit-equal outputs
