@@ -9,9 +9,9 @@ decision boundary Dr/2.
 The reference never implements this (src/fhe2.jl:6 "not finished"); this
 demonstrates capability beyond the reference on the TPU build.
 
-Usage: python examples/scheme2_add.py [k] [batch] [n]
-(n defaults to the paper's 1024; pass a smaller power of four for a quick
-CPU run, e.g. in CI.)
+Usage: python examples/scheme2_add.py [k] [batch] [n] [prune]
+(n defaults to the paper's 1024 — pass a smaller power of four for a quick
+CPU run, e.g. in CI; prune > 0 enables the approximate-gadget fast mode.)
 """
 
 import os
@@ -40,6 +40,7 @@ def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    prune = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     print(f"device: {jax.devices()[0]}", flush=True)
     t0 = time.time()
@@ -71,14 +72,16 @@ def main():
     ly = LWE(ly.a[idx], ly.b[idx])
 
     t0 = time.time()
-    digit, carry = bs2.add_with_carry(params, ctx, bkey, lx, ly)
+    digit, carry = bs2.add_with_carry(params, ctx, bkey, lx, ly, prune=prune)
     jax.block_until_ready(digit.a)
-    print(f"compile+first batch: {time.time()-t0:.1f}s", flush=True)
+    print(f"compile+first batch (prune={prune}): {time.time()-t0:.1f}s",
+          flush=True)
 
     iters = 3
     t0 = time.time()
     for _ in range(iters):
-        digit, carry = bs2.add_with_carry(params, ctx, bkey, lx, ly)
+        digit, carry = bs2.add_with_carry(params, ctx, bkey, lx, ly,
+                                          prune=prune)
     jax.block_until_ready(digit.a)
     dt = (time.time() - t0) / iters
     rate = batch / dt
@@ -93,7 +96,8 @@ def main():
     nd = np.abs(np.asarray(bs2.lwe_phase_noise(sk, digit, jnp.asarray(z % 2**k))))
     nc = np.abs(np.asarray(bs2.lwe_phase_noise(sk, carry, jnp.asarray(z // 2**k))))
     print(
-        f"scheme2 add_with_carry k={k}: {batch} adds in {dt*1e3:.1f} ms -> "
+        f"scheme2 add_with_carry k={k} prune={prune}: {batch} adds in "
+        f"{dt*1e3:.1f} ms -> "
         f"{rate:.1f} adds/s (digit+carry verified); max |noise| "
         f"{max(nd.max(), nc.max())} vs boundary {params.Dr // 2}",
         flush=True,
