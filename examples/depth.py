@@ -23,7 +23,7 @@ import sgfhe_tpu as F
 from sgfhe_tpu.debug.noise import lwe_error
 
 
-def main(generations=100, n=64):
+def main(generations=100, n=64, prune=0):
     params = F.Params.create(n)
     ctx = F.make_context(params)
     key = jax.random.key(0)
@@ -46,7 +46,7 @@ def main(generations=100, n=64):
     max_err = 0
     for g in range(generations):
         and_l, or_l, xor_l = F.bootstrap_batch(
-            params, ctx, bkey.hat, bkey.hat_shoup, cur1, cur2
+            params, ctx, bkey.hat, bkey.hat_shoup, cur1, cur2, prune=prune
         )
         e_and = y1 & y2
         e_or = y1 | y2
@@ -81,4 +81,5 @@ def main(generations=100, n=64):
 if __name__ == "__main__":
     gens = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    main(gens, n)
+    prune = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    main(gens, n, prune)
