@@ -81,7 +81,7 @@ def main():
     rplan = rd.build_rotation_plan(params.moduli, m1, m2)
     hat_np = np.asarray(bkey.hat)
     del bkey  # free the single-device shoup column (same size as the hat)
-    hat_d, shoup_d = rd.bkey_to_dist(ctx, rplan, jnp.asarray(hat_np))
+    hat_d, shoup_d = rd.bkey_to_dist(ctx, rplan, jnp.asarray(hat_np), prune)
     del hat_np
     print(f"bkey_to_dist (m1={m1}, m2={m2}): [{time.time()-t0:.1f}s]", flush=True)
 
@@ -100,7 +100,7 @@ def main():
     t0 = time.time()
     digit, carry = rd.add_with_carry_dist(
         params, ctx, rplan, mesh, jnp.asarray(hat_d), jnp.asarray(shoup_d),
-        lx, ly,
+        lx, ly, prune=prune,
     )
     jax.block_until_ready(digit.a)
     print(f"add_with_carry_dist batch {batch}: [{time.time()-t0:.1f}s]",
@@ -113,7 +113,7 @@ def main():
     assert (cc == z // 2**k).all(), f"carry mismatch: {cc} vs {z // 2**k}"
     noise = np.asarray(bs2.lwe_phase_noise(sk, digit, jnp.asarray(z % 2**k)))
     print(
-        f"PASS k={k} dist (tp=8): digit+carry decrypt-verified on {batch} "
+        f"PASS k={k} dist (tp=8, prune={prune}): digit+carry decrypt-verified on {batch} "
         f"adds; max |noise| {np.abs(noise).max()} vs boundary Dr/2 = "
         f"{params.Dr // 2}",
         flush=True,

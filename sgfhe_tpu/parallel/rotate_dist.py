@@ -125,14 +125,24 @@ def inv_full(dplan: nd.DistNttPlan, x: jax.Array) -> jax.Array:
     return mm.shoup_mul(x, dplan.post, dplan.post_s, p)
 
 
-def bkey_to_dist(ctx, rplan: DistRotationPlan, bkey_hat) -> tuple:
+def bkey_to_dist(ctx, rplan: DistRotationPlan, bkey_hat, prune: int = 0) -> tuple:
     """Convert a bootstrap key from the single-device merged-NTT hat order
     to the dist-hat order, with fresh Shoup companions: hat -> coefficients
     (ntt_inv) -> four-step hat. One-time setup on the host (the Shoup
     division needs 64-bit integers); returns (hat_dist, shoup_dist) numpy
     arrays of shape (n, 2l, 2, L, m1, m2) ready to be device_put with the
-    m1 axis sharded."""
+    m1 axis sharded.
+
+    prune > 0 converts (and returns) only the KEPT gadget rows
+    [prune, l) + [l+prune, 2l) — shape (n, 2(l-prune), 2, L, m1, m2) —
+    halving conversion work and per-chip key share at prune = l/2; pass
+    the result to blind_rotate_dist with the same `prune`."""
     m1, m2 = rplan.m1, rplan.m2
+    if prune:
+        rows2 = bkey_hat.shape[1]
+        l = rows2 // 2
+        keep = list(range(prune, l)) + list(range(l + prune, rows2))
+        bkey_hat = bkey_hat[:, jnp.asarray(keep)]
     coeffs = ntt_mod.ntt_inv(ctx.plan_Q, bkey_hat)
     c = coeffs.reshape(coeffs.shape[:-1] + (m1, m2))
     hat = np.asarray(jax.jit(partial(fwd_full, rplan.dplan))(c))
@@ -170,11 +180,17 @@ def blind_rotate_dist(
     b0: jax.Array,
     axis: str = "tp",
     flat_key=None,
+    prune: int = 0,
 ):
     """The n-step blind rotation with the hat axis sharded over `axis`.
 
     bkey_dist/bkey_dist_shoup: (n_steps, 2l, 2, L, m1, m2) dist-hat key
     (from `bkey_to_dist`), sharded on the m1 axis (in_specs below do it).
+    With prune > 0 the key must hold only the kept rows
+    (`bkey_to_dist(..., prune=prune)`, 2(l-prune) of them) and the rotation
+    runs the approximate-gadget external product — same kept-digit math as
+    the single-device kernels, so dist == single-device remains bit-exact
+    at equal prune (models/params.prune_error_bound documents the noise).
     ua: (B, n_steps) mod-r exponents; a0, b0: (B, L, m) coefficient-domain
     accumulators (flat layout, same as models/bootstrap.blind_rotate).
     Returns (a_acc, b_acc) as full (B, L, m) arrays, bit-identical to the
@@ -185,6 +201,19 @@ def blind_rotate_dist(
     """
     n_steps = bkey_dist.shape[0]
     l = params.num_digits
+    lk = l - prune  # kept digits per operand
+    assert bkey_dist.shape[1] == 2 * lk, (
+        f"key has {bkey_dist.shape[1]} gadget rows; prune={prune} needs "
+        f"{2 * lk} (use bkey_to_dist(..., prune={prune}))"
+    )
+    if prune:
+        from ..models.params import prune_error_bound
+
+        bound = prune_error_bound(params, prune)
+        assert bound < params.Dr / 16, (
+            f"digit pruning prune={prune} admits post-rescale noise "
+            f"{bound:.3g} vs the Dr/16 guard {params.Dr / 16:.3g}"
+        )
     L = params.num_limbs
     m1, m2 = rplan.m1, rplan.m2
     m = m1 * m2
@@ -208,7 +237,7 @@ def blind_rotate_dist(
             m2l = x.shape[-1]
             flat = x.reshape(B, L, m1 * m2l)
             if seed2 is None:
-                d = rns_mod.flatten(rns, flat)  # (B, l, L, M_loc)
+                d = rns_mod.flatten(rns, flat, prune)  # (B, lk, L, M_loc)
             else:
                 g = jnp.arange(B, dtype=jnp.uint32)[:, None, None]
                 i1 = jnp.arange(m1, dtype=jnp.uint32)[None, :, None]
@@ -220,9 +249,10 @@ def blind_rotate_dist(
                     + j
                 ).reshape(B, m1 * m2l)
                 d = rns_mod.flatten_random(
-                    rns, flat, params.moduli, seed2, step, op=op, c0=c0
+                    rns, flat, params.moduli, seed2, step, op=op, c0=c0,
+                    prune=prune,
                 )
-            return d.reshape(B, l, L, m1, m2l)
+            return d.reshape(B, lk, L, m1, m2l)
 
         def fwd(x):
             x = nd.fwd_local_dyn(dplan, x, idx, m2_loc)
@@ -251,7 +281,7 @@ def blind_rotate_dist(
             a_acc, b_acc = carry  # (B, L, m1, m2_loc)
             da = flatten_local(a_acc, k, 0)
             db = flatten_local(b_acc, k, 1)
-            digits = jnp.concatenate([da, db], axis=1)  # (B, 2l, L, m1, m2l)
+            digits = jnp.concatenate([da, db], axis=1)  # (B, 2lk, L, m1, m2l)
             d_hat = fwd(digits)                         # (B, 2l, L, m1l, m2)
             ck = jax.lax.dynamic_index_in_dim(bk, k, 0, keepdims=False)
             cks = jax.lax.dynamic_index_in_dim(bks, k, 0, keepdims=False)
@@ -260,19 +290,20 @@ def blind_rotate_dist(
             for c in range(2):
                 s_acc = None
                 t_acc = None
-                for row in range(2 * l):
+                # pre-sliced key: its row r IS kept-digit row r
+                for row in range(2 * lk):
                     prod = mm.shoup_mul(
                         d_hat[:, row], ck[row, c], cks[row, c], p3
                     )
                     s_acc = (
                         prod if s_acc is None else mm.addmod(s_acc, prod, p3)
                     )
-                for i in range(l):
-                    row = i if c == 0 else l + i
+                for i in range(lk):
+                    row = i if c == 0 else lk + i
                     wprod = mm.shoup_mul(
                         d_hat[:, row],
-                        rns.w_val[i][..., None],
-                        rns.w_shoup[i][..., None],
+                        rns.w_val[prune + i][..., None],
+                        rns.w_shoup[prune + i][..., None],
                         p3,
                     )
                     t_acc = (
@@ -307,7 +338,7 @@ def blind_rotate_dist(
 
 def bootstrap_internal_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-    a1, b1, a2, b2, axis: str = "tp", flat_key=None,
+    a1, b1, a2, b2, axis: str = "tp", flat_key=None, prune: int = 0,
 ):
     """Gate bootstrap (blind rotation + AND/OR/XOR extraction) on the
     tp-sharded rotation — the production entry for keys that span chips
@@ -334,7 +365,7 @@ def bootstrap_internal_dist(
 
     a_acc, b_acc = blind_rotate_dist(
         params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-        ua, a_acc, b_acc, axis=axis, flat_key=flat_key,
+        ua, a_acc, b_acc, axis=axis, flat_key=flat_key, prune=prune,
     )
 
     i_and = 3 * m // 4
@@ -352,6 +383,7 @@ def bootstrap_internal_dist(
 def bootstrap_batch_tp(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
     lwe1, lwe2, axis: str = "tp", flat_key=None, epoch: "int | None" = None,
+    prune: int = 0,
 ):
     """Batched scheme-1 gate bootstrap over the tp-sharded rotation,
     returning (AND, OR, XOR) LWE batches mod r — the public tensor-parallel
@@ -367,13 +399,14 @@ def bootstrap_batch_tp(
     triple = bootstrap_internal_dist(
         params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
         lwe1.a, lwe1.b, lwe2.a, lwe2.b, axis=axis, flat_key=flat_key,
+        prune=prune,
     )
     return tuple(bs._reduce_lwe(params, ctx, t) for t in triple)
 
 
 def rotate_extract_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-    ua, ub, t0, axis: str = "tp", flat_key=None,
+    ua, ub, t0, axis: str = "tp", flat_key=None, prune: int = 0,
 ):
     """Scheme-2 functional rotate-and-extract on the tp-sharded rotation
     (mirrors models/bootstrap2._rotate_extract): rotate each lane's own
@@ -390,7 +423,7 @@ def rotate_extract_dist(
     a_acc = jnp.zeros((M, params.num_limbs, m), dtype=jnp.uint32)
     a_acc, b_acc = blind_rotate_dist(
         params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
-        ua, a_acc, b_acc, axis=axis, flat_key=flat_key,
+        ua, a_acc, b_acc, axis=axis, flat_key=flat_key, prune=prune,
     )
     p = plan.p
     a_q = pol.extract(a_acc, 0, n, p)
@@ -407,7 +440,7 @@ def rotate_extract_dist(
 def bootstrap2_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
     lwe_u, t_hats, axis: str = "tp", flat_key=None,
-    epoch: "int | None" = None,
+    epoch: "int | None" = None, prune: int = 0,
 ):
     """Scheme-2 functional bootstrap over the tp-sharded rotation: evaluate
     F functions of each lane's phase (models/bootstrap2.bootstrap with the
@@ -427,7 +460,7 @@ def bootstrap2_dist(
     t0 = jnp.tile(t_hats, (B, 1, 1))
     out = rotate_extract_dist(
         params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup, ua, ub, t0,
-        axis=axis, flat_key=flat_key,
+        axis=axis, flat_key=flat_key, prune=prune,
     )
     n = params.n
     return LWE(out.a.reshape(B, Fn, n), out.b.reshape(B, Fn))
@@ -436,7 +469,7 @@ def bootstrap2_dist(
 def add_with_carry_dist(
     params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup,
     lwe1, lwe2, carry=None, axis: str = "tp", flat_key=None,
-    epoch: "int | None" = None,
+    epoch: "int | None" = None, prune: int = 0,
 ):
     """k-bit add-with-carry through the sharded rotation — one rotation pass,
     digit and carry as adjacent lanes (models/bootstrap2.add_with_carry)."""
@@ -455,7 +488,7 @@ def add_with_carry_dist(
     th = bs2.tables_hat(params, ctx, [digit_tab, carry_tab])
     out = bootstrap2_dist(
         params, ctx, rplan, mesh, bkey_dist, bkey_dist_shoup, u, th,
-        axis=axis, flat_key=flat_key, epoch=epoch,
+        axis=axis, flat_key=flat_key, epoch=epoch, prune=prune,
     )
     digit = LWE(out.a[:, 0], out.b[:, 0])
     cout = LWE(out.a[:, 1], out.b[:, 1])

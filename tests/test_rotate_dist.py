@@ -222,6 +222,49 @@ def test_scheme1_bootstrap_batch_tp():
         np.testing.assert_array_equal(np.asarray(rb), np.asarray(gb))
 
 
+def test_add_with_carry_dist_pruned():
+    """Digit pruning through the tp-sharded rotation with a PRE-SLICED key
+    (bkey_to_dist(prune=1) converts only the kept rows, halving per-chip
+    share at l=2): must match the single-device pruned bootstrap bit-for-bit
+    and decrypt correctly."""
+    from sgfhe_tpu.models import bootstrap2 as bs2
+    from sgfhe_tpu.models import scheme2 as s2
+    from sgfhe_tpu.models.scheme1 import LWE
+
+    params = s2.Params.create(1, n=64)
+    ctx = s2.make_context(params)
+    sk = s2.PrivateKey.create(params, jax.random.key(41))
+    bkey = s2.BootstrapKey.create(ctx, sk, jax.random.key(42))
+    B = 8
+    rng = np.random.default_rng(44)
+    x = rng.integers(0, 2, size=params.n, dtype=np.int64)
+    y = rng.integers(0, 2, size=params.n, dtype=np.int64)
+    ax, bx = s2.encrypt(sk, jax.random.key(46), jnp.asarray(x))
+    ay, by = s2.encrypt(sk, jax.random.key(47), jnp.asarray(y))
+    lx = bs2.split_ciphertext(params, ax, bx)
+    ly = bs2.split_ciphertext(params, ay, by)
+    lwe1 = LWE(lx.a[:B], lx.b[:B])
+    lwe2 = LWE(ly.a[:B], ly.b[:B])
+
+    d_ref, c_ref = bs2.add_with_carry(params, ctx, bkey, lwe1, lwe2, prune=1)
+
+    mesh = mesh_mod.make_mesh(dp=1, tp=8)
+    rplan = rd.build_rotation_plan(params.moduli, 16, 32)
+    hat_d, shoup_d = rd.bkey_to_dist(ctx, rplan, bkey.hat, prune=1)
+    assert hat_d.shape[1] == 2 * (params.num_digits - 1)
+    d_got, c_got = rd.add_with_carry_dist(
+        params, ctx, rplan, mesh, jnp.asarray(hat_d), jnp.asarray(shoup_d),
+        lwe1, lwe2, prune=1,
+    )
+    np.testing.assert_array_equal(np.asarray(d_ref.a), np.asarray(d_got.a))
+    np.testing.assert_array_equal(np.asarray(d_ref.b), np.asarray(d_got.b))
+    np.testing.assert_array_equal(np.asarray(c_ref.a), np.asarray(c_got.a))
+    np.testing.assert_array_equal(np.asarray(c_ref.b), np.asarray(c_got.b))
+    s = x[:B] + y[:B]
+    np.testing.assert_array_equal(np.asarray(bs2.decrypt_lwe(sk, d_got)), s % 2)
+    np.testing.assert_array_equal(np.asarray(bs2.decrypt_lwe(sk, c_got)), s // 2)
+
+
 def test_blind_rotate_dist_randomized_bit_exact():
     """Randomized flattening in the sharded rotation draws the same global
     Threefry counter stream as the single-device path: bit-equal outputs
