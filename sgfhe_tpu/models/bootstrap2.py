@@ -322,7 +322,7 @@ def refresh(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7))
+@partial(jax.jit, static_argnums=(0, 6, 7, 9))
 def _bootstrap_paired_jit(
     params: Params,
     ctx: Scheme2Context,
@@ -333,10 +333,12 @@ def _bootstrap_paired_jit(
     randomized: bool = False,
     fused: tuple[str, bool] = ("none", False),
     flat_key=None,
+    prune: int = 0,
 ):
     fk = flat_key if randomized else None
     return _rotate_extract(
-        params, ctx, bkey_hat, bkey_shoup, lwe_u.a, lwe_u.b, t0, fk, fused
+        params, ctx, bkey_hat, bkey_shoup, lwe_u.a, lwe_u.b, t0, fk, fused,
+        prune,
     )
 
 
@@ -352,6 +354,7 @@ def mul(
     lwe2: LWE,
     flat_key=None,
     epoch: "int | None" = None,
+    prune: int = 0,
 ) -> tuple[LWE, LWE]:
     """k-bit digit multiplication: x·y -> (low digit, high digit), both
     REFRESHED ciphertexts.
@@ -413,7 +416,7 @@ def mul(
     t0 = jnp.tile(th4, (B, 1, 1))
     out1 = _bootstrap_paired_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, LWE(ua, ub), t0,
-        randomized, fused, fk1,
+        randomized, fused, fk1, prune,
     )
     s_lo, s_hi = _lane(out1, 0, 4), _lane(out1, 1, 4)
     d_lo, d_hi = _lane(out1, 2, 4), _lane(out1, 3, 4)
@@ -433,7 +436,7 @@ def mul(
     )
     out2 = _bootstrap_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, u_lo, th2,
-        randomized, fused, fk2,
+        randomized, fused, fk2, prune,
     )
     lo_p = LWE(out2.a[:, 0], out2.b[:, 0])
     borrow = LWE(out2.a[:, 1], out2.b[:, 1])
@@ -447,7 +450,7 @@ def mul(
     th1 = tables_hat(params, ctx, [[(z - K) % K for z in range(2 * K)]])
     out3 = _bootstrap_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, u_hi, th1,
-        randomized, fused, fk3,
+        randomized, fused, fk3, prune,
     )
     hi_p = LWE(out3.a[:, 0], out3.b[:, 0])
     return lo_p, hi_p

@@ -75,6 +75,7 @@ def add_wide(
     xs: list[LWE],
     ys: list[LWE],
     flat_key=None,
+    prune: int = 0,
 ) -> list[LWE]:
     """Ripple-carry addition of two W-digit numbers -> W+1 digits (the last
     is the carry-out bit). W sequential rotations, each batched over B."""
@@ -88,7 +89,7 @@ def add_wide(
     out = []
     for j in range(W):
         d, carry = bs2.add_with_carry(
-            params, ctx, bkey, xs[j], ys[j], carry, keys[j]
+            params, ctx, bkey, xs[j], ys[j], carry, keys[j], prune=prune
         )
         out.append(d)
     out.append(carry)
@@ -102,6 +103,7 @@ def mul_wide(
     xs: list[LWE],
     ys: list[LWE],
     flat_key=None,
+    prune: int = 0,
 ) -> list[LWE]:
     """Schoolbook multiplication of two W-digit numbers -> 2W digits.
 
@@ -130,7 +132,7 @@ def mul_wide(
         jnp.concatenate([ys[j].a for _ in range(W) for j in range(W)]),
         jnp.concatenate([ys[j].b for _ in range(W) for j in range(W)]),
     )
-    lo, hi = bs2.mul(params, ctx, bkey, l1, l2, next_key())
+    lo, hi = bs2.mul(params, ctx, bkey, l1, l2, next_key(), prune=prune)
 
     cols: list[list[LWE]] = [[] for _ in range(2 * W + 1)]
     for i in range(W):
@@ -146,7 +148,7 @@ def mul_wide(
             a = pend.pop()
             b = pend.pop()
             d, carry = bs2.add_with_carry(
-                params, ctx, bkey, a, b, None, next_key()
+                params, ctx, bkey, a, b, None, next_key(), prune=prune
             )
             pend.append(d)
             cols[c + 1].append(carry)
@@ -191,6 +193,7 @@ def sub_wide(
     xs: list[LWE],
     ys: list[LWE],
     flat_key=None,
+    prune: int = 0,
 ) -> tuple[list[LWE], LWE]:
     """Two's-complement subtraction: x - y = x + comp(y) + 1 digit-wise.
 
@@ -210,16 +213,16 @@ def sub_wide(
     for j in range(W):
         d, carry = bs2.add_with_carry(
             params, ctx, bkey, xs[j], complement_digit(params, ys[j]),
-            carry, keys[j],
+            carry, keys[j], prune=prune,
         )
         out.append(d)
     return out, carry
 
 
-def ge_wide(params, ctx, bkey, xs, ys, flat_key=None) -> LWE:
+def ge_wide(params, ctx, bkey, xs, ys, flat_key=None, prune: int = 0) -> LWE:
     """Encrypted [x >= y] flag (W rotations; the diff digits are free but
     discarded)."""
-    return sub_wide(params, ctx, bkey, xs, ys, flat_key)[1]
+    return sub_wide(params, ctx, bkey, xs, ys, flat_key, prune)[1]
 
 
 def flag_and(
@@ -229,6 +232,7 @@ def flag_and(
     f1: LWE,
     f2: LWE,
     flat_key=None,
+    prune: int = 0,
 ) -> LWE:
     """AND of two 0/1 flag digits in ONE rotation: table [f1+f2 >= 2] over
     the combined domain (works for every k, including k=1 where 2 == 2^k)."""
@@ -236,7 +240,7 @@ def flag_and(
     tab = [1 if z >= 2 else 0 for z in range(zmax)]
     u = bs2._lwe_sum(params, f1, f2)
     th = bs2.tables_hat(params, ctx, [tab])
-    out = bs2.bootstrap(params, ctx, bkey, u, th, flat_key)
+    out = bs2.bootstrap(params, ctx, bkey, u, th, flat_key, prune=prune)
     return LWE(out.a[:, 0], out.b[:, 0])
 
 
@@ -259,6 +263,7 @@ def _mux_pass(
     flag: LWE,
     pairs: list[tuple[list[LWE], list[LWE]]],
     flat_key=None,
+    prune: int = 0,
 ) -> list[list[LWE]]:
     """Shared mux engine: for each (xs, ys) pair and each digit j, compute
     flag ? xs[j] : ys[j]. ALL selections ride ONE batched rotation pass —
@@ -289,7 +294,7 @@ def _mux_pass(
     fused = bs2._use_fused(params)
     out = bs2._bootstrap_paired_jit(
         params, ctx, bkey.hat, bkey.hat_shoup, u, t0,
-        flat_key is not None, fused, flat_key,
+        flat_key is not None, fused, flat_key, prune,
     )
     results, lane = [], 0
     for xs, ys in pairs:
@@ -313,13 +318,14 @@ def select_wide(
     xs: list[LWE],
     ys: list[LWE],
     flat_key=None,
+    prune: int = 0,
 ) -> list[LWE]:
     """Encrypted branchless select: flag ? x : y digit-wise, where `flag` is
     a refreshed 0/1 flag ciphertext (e.g. `ge_wide`/`eq_wide` output). ONE
     rotation pass with 2W lanes; every output digit is (the sum of two)
     refreshed ciphertexts. The data path never learns which branch was
     taken — the FHE analog of a cmov."""
-    return _mux_pass(params, ctx, bkey, flag, [(xs, ys)], flat_key)[0]
+    return _mux_pass(params, ctx, bkey, flag, [(xs, ys)], flat_key, prune)[0]
 
 
 def min_max_wide(
@@ -329,6 +335,7 @@ def min_max_wide(
     xs: list[LWE],
     ys: list[LWE],
     flat_key=None,
+    prune: int = 0,
 ) -> tuple[list[LWE], list[LWE]]:
     """Encrypted (min, max) of two W-digit numbers: one `ge_wide` comparison
     (W rotations) + ONE shared mux pass with 4W lanes (both selections reuse
@@ -337,9 +344,9 @@ def min_max_wide(
         k1, k2 = jax.random.split(flat_key)
     else:
         k1 = k2 = None
-    ge = ge_wide(params, ctx, bkey, xs, ys, k1)
+    ge = ge_wide(params, ctx, bkey, xs, ys, k1, prune)
     mins, maxs = _mux_pass(
-        params, ctx, bkey, ge, [(ys, xs), (xs, ys)], k2
+        params, ctx, bkey, ge, [(ys, xs), (xs, ys)], k2, prune
     )
     return mins, maxs
 
@@ -368,6 +375,7 @@ def sort_wide(
     bkey: BootstrapKey,
     items: list[list[LWE]],
     flat_key=None,
+    prune: int = 0,
 ) -> list[list[LWE]]:
     """Sort N encrypted W-digit numbers ascending, obliviously: a Batcher
     odd-even merge network of `min_max_wide` compare-exchanges (O(N log²N)
@@ -384,7 +392,7 @@ def sort_wide(
     items = list(items)
     for (i, j), fk in zip(pairs, keys):
         items[i], items[j] = min_max_wide(
-            params, ctx, bkey, items[i], items[j], fk
+            params, ctx, bkey, items[i], items[j], fk, prune
         )
     return items
 
@@ -396,6 +404,7 @@ def eq_wide(
     xs: list[LWE],
     ys: list[LWE],
     flat_key=None,
+    prune: int = 0,
 ) -> LWE:
     """Encrypted [x == y] flag: ge(x,y) AND ge(y,x) — 2W+1 rotations."""
     if flat_key is not None:
@@ -404,7 +413,7 @@ def eq_wide(
         k1 = k2 = k3 = None
     return flag_and(
         params, ctx, bkey,
-        ge_wide(params, ctx, bkey, xs, ys, k1),
-        ge_wide(params, ctx, bkey, ys, xs, k2),
-        k3,
+        ge_wide(params, ctx, bkey, xs, ys, k1, prune),
+        ge_wide(params, ctx, bkey, ys, xs, k2, prune),
+        k3, prune,
     )

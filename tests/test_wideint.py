@@ -209,3 +209,36 @@ def test_sub_wide_randomized(toy_k1):
     np.testing.assert_array_equal(
         wi.decrypt_wide(sk, diff), (xs_v - ys_v) % 2 ** (k * W)
     )
+
+
+def test_wideint_pruned(toy_k1):
+    """Digit pruning through the whole wideint stack: add, mul, sub/compare
+    and min_max all correct at prune=1 (approximate gadget; toy set has
+    L=2 so one digit row is kept)."""
+    params, ctx, sk, bkey = toy_k1
+    k, W, B = params.k, 2, 6
+    rng = np.random.default_rng(71)
+    xs_v = rng.integers(0, 2 ** (k * W), B)
+    ys_v = rng.integers(0, 2 ** (k * W), B)
+    xs = wi.encrypt_wide(sk, jax.random.key(72), xs_v, W)
+    ys = wi.encrypt_wide(sk, jax.random.key(73), ys_v, W)
+    out = wi.add_wide(params, ctx, bkey, xs, ys, prune=1)
+    np.testing.assert_array_equal(wi.decrypt_wide(sk, out), xs_v + ys_v)
+    prod = wi.mul_wide(params, ctx, bkey, xs, ys, prune=1)
+    np.testing.assert_array_equal(wi.decrypt_wide(sk, prod), xs_v * ys_v)
+    diff, ge = wi.sub_wide(params, ctx, bkey, xs, ys, prune=1)
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, diff), (xs_v - ys_v) % 2 ** (k * W)
+    )
+    from sgfhe_tpu.models import bootstrap2 as bs2
+
+    np.testing.assert_array_equal(
+        np.asarray(bs2.decrypt_lwe(sk, ge)), (xs_v >= ys_v).astype(int)
+    )
+    mins, maxs = wi.min_max_wide(params, ctx, bkey, xs, ys, prune=1)
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, mins), np.minimum(xs_v, ys_v)
+    )
+    np.testing.assert_array_equal(
+        wi.decrypt_wide(sk, maxs), np.maximum(xs_v, ys_v)
+    )
