@@ -325,6 +325,72 @@ def main():
             raise
         except Exception as e:
             print(f"n=1024 bench failed: {e}", file=sys.stderr)
+    if not os.environ.get("SGFHE_BENCH_SKIP_S2"):
+        # scheme-2 k=1 functional bootstrap (paper n=1024): adds + muls per
+        # second in the machine-readable record (round-4 VERDICT item 4)
+        try:
+            import sgfhe_tpu as F
+            from sgfhe_tpu.models import bootstrap2 as bs2
+            from sgfhe_tpu.models import scheme2 as s2
+
+            p2 = s2.Params.create(1)
+            ctx2 = s2.make_context(p2)
+            sk2 = s2.PrivateKey.create(p2, jax.random.key(21))
+            bkey2 = s2.BootstrapKey.create(ctx2, sk2, jax.random.key(22))
+            rng = np.random.default_rng(23)
+            x2 = rng.integers(0, 2, p2.n)
+            y2 = rng.integers(0, 2, p2.n)
+            a2_, b2_ = s2.encrypt(sk2, jax.random.key(24), jnp.asarray(x2))
+            a3_, b3_ = s2.encrypt(sk2, jax.random.key(25), jnp.asarray(y2))
+            lx = bs2.split_ciphertext(p2, a2_, b2_)
+            ly = bs2.split_ciphertext(p2, a3_, b3_)
+            sb = 64
+            lx = F.LWE(lx.a[:sb], lx.b[:sb])
+            ly = F.LWE(ly.a[:sb], ly.b[:sb])
+            z2 = x2[:sb] + y2[:sb]
+
+            def s2_add(prune=0):
+                d, c = bs2.add_with_carry(p2, ctx2, bkey2, lx, ly, prune=prune)
+                jax.block_until_ready(d.a)
+                if not (
+                    (np.asarray(bs2.decrypt_lwe(sk2, d)) == z2 % 2).all()
+                    and (np.asarray(bs2.decrypt_lwe(sk2, c)) == z2 // 2).all()
+                ):
+                    print("FATAL: scheme2 k=1 add wrong", file=sys.stderr)
+                    raise SystemExit(1)
+
+            for prune, name in ((0, "s2_k1_adds"), (1, "s2_k1_adds_prune1")):
+                s2_add(prune)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    d, c = bs2.add_with_carry(
+                        p2, ctx2, bkey2, lx, ly, prune=prune
+                    )
+                jax.block_until_ready(d.a)
+                rate = 3 * sb / (time.perf_counter() - t0)
+                SECONDARY[name] = round(rate, 1)
+                print(f"scheme2 k=1 adds/s (prune={prune}): {rate:.1f} "
+                      f"(verified)", file=sys.stderr)
+            lo, hi = bs2.mul(p2, ctx2, bkey2, lx, ly)
+            jax.block_until_ready(lo.a)
+            prod = x2[:sb] * y2[:sb]
+            if not (
+                (np.asarray(bs2.decrypt_lwe(sk2, lo)) == prod % 2).all()
+                and (np.asarray(bs2.decrypt_lwe(sk2, hi)) == prod // 2).all()
+            ):
+                print("FATAL: scheme2 k=1 mul wrong", file=sys.stderr)
+                raise SystemExit(1)
+            t0 = time.perf_counter()
+            for _ in range(2):
+                lo, hi = bs2.mul(p2, ctx2, bkey2, lx, ly)
+            jax.block_until_ready(lo.a)
+            rate = 2 * sb / (time.perf_counter() - t0)
+            SECONDARY["s2_k1_muls"] = round(rate, 1)
+            print(f"scheme2 k=1 muls/s: {rate:.1f} (verified)", file=sys.stderr)
+        except SystemExit:
+            raise
+        except Exception as e:
+            print(f"scheme2 bench failed: {e}", file=sys.stderr)
     for npoly in (512, 1024):
         try:
             tps = bench_ntt(npoly)

@@ -63,10 +63,12 @@ class GateCost:
     acc_bytes: int             # accumulator working set per gate
 
 
-def op_cost(params) -> GateCost:
+def op_cost(params, prune: int = 0) -> GateCost:
     """Analytic per-gate cost of one bootstrap pass through the fused kernel
-    (ops/fused.py): n steps of [flatten x2, fwd NTT on 2l digit rows, gadget
-    accumulation, monomial ladder, inv NTT on 2 columns]."""
+    (ops/fused.py): n steps of [flatten x2, fwd NTT on 2(l-prune) digit
+    rows, gadget accumulation, monomial ladder, inv NTT on 2 columns].
+    prune models the approximate-gadget fast mode (dropped rows cost no
+    NTT/key-mul/embed work; the extraction chain still peels them)."""
     n, l, L, m = params.n, params.num_digits, params.num_limbs, params.m
     m1 = max(1, m // 128)
     S = m.bit_length() - 1
@@ -86,19 +88,20 @@ def op_cost(params) -> GateCost:
     )
     inv_col = fwd_row  # same stage structure + post-twist ~ pre-twist
     # flatten (a and b): extraction chain on single-limb rows + re-embed
+    lk = l - prune                     # kept digit rows per operand
     chain = sum(i for i in range(L)) * (m * (_W_SHOUP + _W_MODU32 + _W_ADDSEL))
-    embed = L * (elems * (_W_MODU32 + _W_ADDSEL))
+    embed = lk * (elems * (_W_MODU32 + _W_ADDSEL))
     flatten2 = 2 * (chain + embed)
-    # gadget accumulation: 2l rows x 2 cols key muls + l x 2 w-muls + adds
-    accum = (2 * l * 2 + l * 2) * elems * (_W_SHOUP + _W_ADDSEL)
+    # gadget accumulation: 2lk rows x 2 cols key muls + lk x 2 w-muls + adds
+    accum = (2 * lk * 2 + lk * 2) * elems * (_W_SHOUP + _W_ADDSEL)
     # monomial ladder: log2(2m) shoup+select on 2 columns
     ladder = 2 * (2 * m).bit_length() * elems * (_W_SHOUP + 2 * _W_ADDSEL)
 
-    per_step = flatten2 + 2 * l * fwd_row + accum + ladder + 2 * inv_col
+    per_step = flatten2 + 2 * lk * fwd_row + accum + ladder + 2 * inv_col
     return GateCost(
         sme_per_gate=n * per_step,
-        ntt_transforms=n * (2 * l + 2) * L,
-        key_bytes=n * (2 * l) * 2 * L * m * 4 * 2,
+        ntt_transforms=n * (2 * lk + 2) * L,
+        key_bytes=n * (2 * lk) * 2 * L * m * 4 * 2,
         acc_bytes=2 * L * m * 4,
     )
 
