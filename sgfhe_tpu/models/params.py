@@ -57,17 +57,22 @@ class Params:
     @classmethod
     def create(cls, n: int, num_limbs: int | None = None) -> "Params":
         """Build parameters for polynomial length n (power of two,
-        64 <= n <= 8192).
+        64 <= n <= 16384).
 
         `num_limbs` overrides the RNS limb count (the analog of the
         reference's `rlwe_type` width knob, src/fhe.jl:71-81).
         """
         assert n >= 64, "n must be >= 64"
         assert n & (n - 1) == 0, "n must be a power of 2"
-        # n = 16384 would break two uint32 invariants at once: the exact
-        # int32 negacyclic matmul bound n*r < 2^31 (ops/poly.py) and the
-        # rescale_exact float32 error budget at new_max = r = 2^18
-        assert n <= 8192, "n > 8192 exceeds the uint32 arithmetic envelope"
+        # n = 16384 (r = 2^18) rides the split-halves negacyclic matmul
+        # (ops/poly.py) and the K=2 rescale correction ladder (ops/rns.py).
+        # n = 32768 is a PRIME-GEOMETRY boundary, not an arithmetic one:
+        # Q ~ 2^116 over primes ≡ 1 (mod 2m = 2^19) forces either 5 primes
+        # near 2^23 (where that residue class holds only a handful of
+        # primes — the balanced product window is unsatisfiable) or 4 primes
+        # pushing past the 2^29 Shoup/lazy headroom. Documented in
+        # docs/manual.md "Design envelope".
+        assert n <= 16384, "n > 16384 exceeds the RNS prime-geometry envelope"
         r = 16 * n
         t = r.bit_length() - 1 - 1  # log2(r) - 1
         m = r // 2

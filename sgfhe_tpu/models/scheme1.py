@@ -402,8 +402,7 @@ def _encrypt_private_kernel(params: Params, s_bits, key, message):
     w = jax.random.randint(
         k_w, (params.n,), -w_range, w_range + 1, dtype=jnp.int32
     )
-    wmat = pol.toeplitz_from_small(s_bits)
-    b = pol.negacyclic_matmul_mask(a, wmat, params.mask_r)
+    b = pol.negacyclic_mul_bits(a, s_bits, params.mask_r, params.q_factors)
     b = (b + w.astype(jnp.uint32) + message.astype(jnp.uint32) * jnp.uint32(params.Dr)) & mask
     # keep only the top 5 bits (src/fhe.jl:325)
     shift = params.t - 4
@@ -574,9 +573,13 @@ def decrypt(sk: PrivateKey, ct) -> jax.Array:
 @partial(jax.jit, static_argnums=(0, 1))
 def _decrypt_kernel(params: Params, extended: bool, s_bits, a, b):
     mask = jnp.uint32(params.mask_r)
-    s = pol.resize(s_bits, params.m) if extended else s_bits
-    wmat = pol.toeplitz_from_small(s)
-    sa = pol.negacyclic_matmul_mask(a, wmat, params.mask_r)
+    if extended:
+        # length-m ring: helper primes are Q's (2m | p-1); length-n ring
+        # uses q's factors (2n | p-1)
+        s = pol.resize(s_bits, params.m)
+        sa = pol.negacyclic_mul_bits(a, s, params.mask_r, params.moduli)
+    else:
+        sa = pol.negacyclic_mul_bits(a, s_bits, params.mask_r, params.q_factors)
     b1 = (b - sa) & mask
     b1 = b1[..., : params.n]
     snapped = (b1 + jnp.uint32(params.Dr // 2)) & mask

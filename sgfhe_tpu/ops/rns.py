@@ -420,10 +420,12 @@ def rescale_exact(
     v = (A*x + B) / C  (round: A=2*new_max, B=Q, C=2Q; floor: A=new_max, B=0,
     C=Q — round(x*new_max/Q) == floor((2*x*new_max + Q) / 2Q); Q odd means no
     ties), then correct the estimate with an EXACT multi-limb evaluation of
-    D = A*x + B - q_est*C + C: the true quotient satisfies C <= D < 2C, so
-    D < C means q_est is one too high and D >= 2C one too low. The float
-    estimate is within ±0.03 of v (3 products of magnitude <= new_max with
-    relative error ~2^-23), so one correction step suffices.
+    D = A*x + B - (q_est - K)*C: the true quotient q satisfies
+    (q - q_est + K)*C <= D < (q - q_est + K + 1)*C, so counting how many
+    static multiples of C fit under D recovers q from q_est exactly for any
+    offset |q - q_est| <= K. K is derived statically from the float32 error
+    budget below (K = 1 for every Params through n = 8192; 2 at n = 16384,
+    where A = 2r = 2^19 outgrows the one-step budget).
     """
     assert new_max & (new_max - 1) == 0, "new_max must be a power of two"
     moduli = tuple(int(p) for p in moduli)
@@ -436,19 +438,21 @@ def rescale_exact(
         A, B, C = 2 * new_max, Q, 2 * Q
     else:
         A, B, C = new_max, 0, Q
-    # Float32 error budget: the estimate sums L+1 terms of magnitude <= A,
-    # each carrying ~2^-23 relative error (plus the A*w_i/C constant
-    # rounding), so |est - v| < (L + 3) * A * 2^-23. The single exact
-    # correction step only absorbs an estimate within ±1 of the true
-    # quotient; keep the error below 0.25 so the precondition cannot be
-    # silently violated by a future caller with a large new_max.
-    assert (len(moduli) + 3) * A <= (1 << 21), (
+    # Float32 error budget: each of the L digit terms d_i*(A*w_i/C) carries
+    # <= 3 single-op roundings on a value of magnitude <= A (the digit's own
+    # float32 representation, the constant's rounding, the product), plus
+    # L accumulation roundings — conservatively |est - v| < 3(L+2)*A*2^-23.
+    # q_est = floor(est) then sits within ceil(e) of the true quotient, and
+    # the exact ladder absorbs any offset <= K, so pick K = ceil(e). The cap
+    # only guards against absurd new_max where float32 stops making sense.
+    K = max(1, -(-(3 * (len(moduli) + 2) * A) // (1 << 23)))
+    assert K <= 4, (
         f"rescale_exact: new_max={new_max} exceeds the float32 estimate "
-        f"error budget for L={len(moduli)} limbs (one correction step "
-        f"requires (L+3)*A*2^-23 < 0.25)"
+        f"error budget for L={len(moduli)} limbs (correction ladder would "
+        f"need K={K} > 4 steps; use a wider estimate)"
     )
-    # limb count: the largest intermediate is A*(Q-1) + B + C
-    nl = (A * (Q - 1) + B + C).bit_length() // 32 + 1
+    # limb count: the largest intermediate is A*(Q-1) + B + K*C
+    nl = (A * (Q - 1) + B + (K + 1) * C).bit_length() // 32 + 1
 
     digits = mixed_radix_digits(ctx, x)  # L arrays (..., m), d_i < p_i
 
@@ -463,17 +467,19 @@ def rescale_exact(
     # clamp: in floor mode est may dip epsilon below 0 when v == 0; the
     # uint32 cast must never see a negative (clamped 0 is still in {q, q+1})
     est = jnp.maximum(est, jnp.float32(0.0))
-    q_est = jnp.floor(est).astype(jnp.uint32)  # in {q-1, q, q+1}, >= 0
+    q_est = jnp.floor(est).astype(jnp.uint32)  # within K of q, >= 0
 
-    # exact D = sum_i d_i*(A*w_i) + (B + C) - q_est*C  (all limbs wrap-exact)
+    # exact D = sum_i d_i*(A*w_i) + (B + K*C) - q_est*C (all limbs wrap-exact)
     acc = [jnp.broadcast_to(v, q_est.shape).astype(jnp.uint32)
-           for v in _limbs_of_int(B + C, nl)]
+           for v in _limbs_of_int(B + K * C, nl)]
     for i, d in enumerate(digits):
         acc = _mll_add(acc, _mll_mul_const(d, A * weights[i], nl))
     acc = _mll_add(acc, _mll_neg(_mll_mul_const(q_est, C, nl)))
-    too_high = ~_mll_ge_const(acc, C)         # D < C   -> q_est - 1
-    too_low = _mll_ge_const(acc, 2 * C)       # D >= 2C -> q_est + 1
-    q = q_est + too_low.astype(jnp.uint32) - too_high.astype(jnp.uint32)
+    # q = q_est - K + #{i in 1..2K : D >= i*C}  (uint32 wrap is exact: the
+    # true quotient is a nonnegative uint32)
+    q = q_est - jnp.uint32(K)
+    for i in range(1, 2 * K + 1):
+        q = q + _mll_ge_const(acc, i * C).astype(jnp.uint32)
     return q & jnp.uint32(new_max - 1)
 
 
@@ -500,20 +506,21 @@ def rescale_wide(
         A, B, C = new_max, 0, old_max
     # float32 error budget (see rescale_exact): x*A/C + B/C is two rounded
     # float ops on a value <= A plus x's own 2^-24 representation error, so
-    # |est - v| < 3*A*2^-23; the one correction step needs that < 0.25.
-    assert 3 * A <= (1 << 21), (
+    # |est - v| < 3*A*2^-23; the K-step exact ladder absorbs offsets <= K.
+    K = max(1, -(-(3 * A) // (1 << 23)))
+    assert K <= 4, (
         f"rescale_wide: new_max={new_max} exceeds the float32 estimate "
-        f"error budget (one correction step requires 3*A*2^-23 < 0.25)"
+        f"error budget (correction ladder would need K={K} > 4 steps)"
     )
-    nl = (A * (old_max - 1) + B + C).bit_length() // 32 + 1
+    nl = (A * (old_max - 1) + B + (K + 1) * C).bit_length() // 32 + 1
     est = x.astype(jnp.float32) * np.float32(A / C) + np.float32(B / C)
     est = jnp.maximum(est, jnp.float32(0.0))
     q_est = jnp.floor(est).astype(jnp.uint32)
     acc = [jnp.broadcast_to(v, q_est.shape).astype(jnp.uint32)
-           for v in _limbs_of_int(B + C, nl)]
+           for v in _limbs_of_int(B + K * C, nl)]
     acc = _mll_add(acc, _mll_mul_const(x, A, nl))
     acc = _mll_add(acc, _mll_neg(_mll_mul_const(q_est, C, nl)))
-    too_high = ~_mll_ge_const(acc, C)
-    too_low = _mll_ge_const(acc, 2 * C)
-    q = q_est + too_low.astype(jnp.uint32) - too_high.astype(jnp.uint32)
+    q = q_est - jnp.uint32(K)
+    for i in range(1, 2 * K + 1):
+        q = q + _mll_ge_const(acc, i * C).astype(jnp.uint32)
     return q & jnp.uint32(new_max - 1)

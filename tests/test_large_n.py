@@ -2,7 +2,8 @@
 perf tests run Params(1024), test/performance.test.jl:54-78): parameter
 derivation and the full private+public encrypt/decrypt roundtrip at
 n = 1024 and n = 2048, plus the rescale_wide-backed public path at n = 4096
-(q ~ 2^29, past mm.rescale's fixup bound)."""
+(q ~ 2^29, past mm.rescale's fixup bound), the RNS-q path at n = 8192, and
+the split-matmul / K=2-rescale envelope ceiling at n = 16384."""
 
 import numpy as np
 import pytest
@@ -76,3 +77,52 @@ def test_roundtrip_n8192_rns_q():
     pk2 = ser.from_wire(ser.to_wire(pk))
     np.testing.assert_array_equal(np.asarray(pk2.k0), np.asarray(pk.k0))
     np.testing.assert_array_equal(np.asarray(pk2.k1), np.asarray(pk.k1))
+
+
+@pytest.mark.slow
+def test_split_matmul_oracle_n16384():
+    """The split-halves negacyclic matmul (n*r >= 2^31 regime,
+    ops/poly.py) against an int64 convolution oracle. A pure roundtrip
+    cannot prove this: encrypt and decrypt share the matmul, so a
+    consistent error would cancel."""
+    from sgfhe_tpu.ops import poly as P
+
+    n, r = 16384, 1 << 18
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, r, n, dtype=np.uint32)
+    s = rng.integers(0, 2, n, dtype=np.uint32)
+    w = P.toeplitz_from_small(jnp.asarray(s))
+    out = np.asarray(
+        jax.jit(lambda x: P.negacyclic_matmul_mask(x, w, r - 1))(
+            jnp.asarray(a)
+        )
+    )
+    full = np.convolve(a.astype(np.int64), s.astype(np.int64))
+    c = np.zeros(n, dtype=np.int64)
+    c[:n] += full[:n]
+    c[: n - 1] -= full[n:]
+    np.testing.assert_array_equal(out, (c % r).astype(np.uint32))
+
+
+@pytest.mark.slow
+def test_roundtrip_n16384_envelope_ceiling():
+    """n = 16384 (r = 2^18): the top of the design envelope. Exercises the
+    split-halves negacyclic matmul (n*r = 2^32 > int32 accumulation) and
+    the K=2 rescale_exact correction ladder (A = 2r = 2^19 outgrows the
+    one-step float32 budget). The reference reaches this width via its
+    UInt128 `rlwe_type` (src/fhe.jl:71-81)."""
+    params = F.Params.create(16384)
+    assert params.r == 1 << 18
+    assert len(params.q_moduli) == 2
+    key = jax.random.key(16384)
+    k_sk, k_pk, k_msg, k_enc = jax.random.split(key, 4)
+    sk = F.PrivateKey.create(params, k_sk)
+    msg = jax.random.bernoulli(k_msg, 0.5, (params.n,))
+    ct = F.encrypt(sk, k_enc, msg)
+    assert (np.asarray(F.decrypt(sk, ct)) == np.asarray(msg)).all()
+    bits = F.split_ciphertext(ct)
+    assert (np.asarray(F.decrypt_bit(sk, bits)) == np.asarray(msg)).all()
+    ctx = F.make_context(params)
+    pk = F.PublicKey.create(ctx, sk, k_pk)
+    ct2 = F.encrypt_public(pk, ctx, k_enc, msg)
+    assert (np.asarray(F.decrypt(sk, ct2)) == np.asarray(msg)).all()

@@ -85,3 +85,57 @@ def test_batched_shapes():
     assert y.shape == x.shape
     back = np.asarray(ntt.ntt_inv(plan, jnp.asarray(y)))
     np.testing.assert_array_equal(back, x)
+
+
+def test_negacyclic_mul_bits_vs_toeplitz_oracle():
+    """The NTT-backed exact negacyclic-by-bits product (ops/poly.py,
+    the encrypt/decrypt backend since round 5 — the n x n toeplitz matmul
+    lowers to a scalar-rate n^2 loop on TPU) against the toeplitz oracle,
+    on the length-n ring (helper primes = q's factors) and the length-m
+    ring (helper primes = Q's factors), batched and unbatched."""
+    import jax
+
+    from sgfhe_tpu.models.params import Params
+    from sgfhe_tpu.ops import poly as P
+
+    rng = np.random.default_rng(2)
+    for n in (64, 256):
+        p = Params.create(n)
+        a = jnp.asarray(rng.integers(0, p.r, (3, n)).astype(np.uint32))
+        s = jnp.asarray(rng.integers(0, 2, n).astype(np.uint32))
+        ref = jax.jit(
+            lambda a, s: P.negacyclic_matmul_mask(
+                a, P.toeplitz_from_small(s), p.mask_r
+            )
+        )(a, s)
+        got = jax.jit(
+            lambda a, s: P.negacyclic_mul_bits(a, s, p.mask_r, p.q_factors)
+        )(a, s)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        m = p.m
+        am = jnp.asarray(rng.integers(0, p.r, (m,)).astype(np.uint32))
+        sm = jnp.asarray(
+            np.concatenate([np.asarray(s), np.zeros(m - n, np.uint32)])
+        )
+        refm = jax.jit(
+            lambda a, s: P.negacyclic_matmul_mask(
+                a, P.toeplitz_from_small(s), p.mask_r
+            )
+        )(am, sm)
+        gotm = jax.jit(
+            lambda a, s: P.negacyclic_mul_bits(a, s, p.mask_r, p.moduli)
+        )(am, sm)
+        np.testing.assert_array_equal(np.asarray(gotm), np.asarray(refm))
+        # all-ones key and all-max operand: the worst-case coefficient
+        # magnitude the unique-lift bound must absorb
+        aw = jnp.full((n,), p.r - 1, jnp.uint32)
+        sw = jnp.ones((n,), jnp.uint32)
+        refw = jax.jit(
+            lambda a, s: P.negacyclic_matmul_mask(
+                a, P.toeplitz_from_small(s), p.mask_r
+            )
+        )(aw, sw)
+        gotw = jax.jit(
+            lambda a, s: P.negacyclic_mul_bits(a, s, p.mask_r, p.q_factors)
+        )(aw, sw)
+        np.testing.assert_array_equal(np.asarray(gotw), np.asarray(refw))
